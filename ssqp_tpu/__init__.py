@@ -1,0 +1,57 @@
+"""ssqp_tpu — a TPU-native status-switching QP/LP solver framework.
+
+A from-scratch JAX/XLA/Pallas re-design with the capabilities of the reference
+Julia package StatusSwitchingQP.jl (dense active-set convex QP + LP via the
+Status Switching Method): fixed-shape masked status bookkeeping, padded
+Cholesky KKT solves under `lax.while_loop`, batched instances via `vmap`, and
+instance sharding across device meshes via `shard_map`.
+"""
+
+from ssqp_tpu.types import (
+    DN,
+    EO,
+    IN,
+    LP,
+    OE,
+    QP,
+    UP,
+    MC_DEGENERATE_BOUNDS,
+    MC_INFEASIBLE,
+    MC_NO_CONSTRAINTS,
+    MC_NOT_PSD,
+    MC_OK,
+    MC_REDUNDANT,
+    Result,
+    Settings,
+    lp_from_qp,
+    make_lp,
+    make_qp,
+    qp_from_lp,
+)
+
+__all__ = [
+    "IN", "DN", "UP", "OE", "EO",
+    "LP", "QP", "Settings", "Result",
+    "make_lp", "make_qp", "qp_from_lp", "lp_from_qp",
+    "MC_OK", "MC_INFEASIBLE", "MC_REDUNDANT", "MC_NO_CONSTRAINTS",
+    "MC_DEGENERATE_BOUNDS", "MC_NOT_PSD",
+    "solve_qp", "simplex_lp", "solve_lp", "box_lp",
+]
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy imports to keep package import light
+    if name == "solve_qp":
+        from ssqp_tpu.solvers.ssqp import solve_qp
+        return solve_qp
+    if name == "simplex_lp":
+        from ssqp_tpu.solvers.simplex import simplex_lp
+        return simplex_lp
+    if name == "solve_lp":
+        from ssqp_tpu.solvers.cclp import solve_lp
+        return solve_lp
+    if name == "box_lp":
+        from ssqp_tpu.solvers.boxlp import box_lp
+        return box_lp
+    raise AttributeError(f"module 'ssqp_tpu' has no attribute {name!r}")

@@ -1,0 +1,108 @@
+"""Masked Gauss-Jordan elimination with fixed shapes.
+
+TPU-native replacement for the reference's rank/redundancy machinery
+(reference: src/utils.jl:2-86, `getRowsGJ`/`getRowsGJr`). The reference purges
+redundant working-set rows by gathering an index subset — a dynamic shape. Here
+the elimination runs with a *fixed trip count* and returns a boolean `keep`
+mask instead of shrinking, so it stays `jit`/`vmap`/`shard_map` compatible.
+
+Semantics of :func:`masked_gj_purge` match `getRowsGJr([AE bE], tol)`
+(utils.jl:49-86) as used by the S-loop (SSQP.jl:310-319): a row is kept iff it
+is linearly independent of the kept rows above it (row-pivoted elimination,
+max-abs column pivot, absolute tolerance). A dropped row whose eliminated
+right-hand side still exceeds `tol` marks the system inconsistent — the
+analogue of rank([A b]) > rank(A) detected by `getRowsGJ`'s `l1` bookkeeping
+(utils.jl:36-38).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _gj_sweep(E: jax.Array, tol, ncols_pivot: int):
+    """Run row-ordered Gauss-Jordan over `E`, pivoting only in the first
+    `ncols_pivot` columns. Returns (eliminated E, keep mask).
+
+    Rows that are (numerically) zero in the pivot columns at their turn are
+    skipped and marked not-kept. Elimination zeroes the pivot column in every
+    other row, so the "unused columns" bookkeeping of the reference
+    (utils.jl:54, 65) is implicit.
+    """
+    R, C = E.shape
+    col_ids = jnp.arange(C)
+    pivot_zone = (col_ids < ncols_pivot).astype(E.dtype)
+
+    def step(i, carry):
+        E, keep = carry
+        row = E[i]
+        absrow = jnp.abs(row) * pivot_zone
+        j = jnp.argmax(absrow)
+        piv_ok = absrow[j] > tol
+        # Normalized pivot row (safe divide when not pivoting).
+        denom = jnp.where(piv_ok, row[j], jnp.ones((), E.dtype))
+        r = row / denom
+        # Eliminate column j from all other rows.
+        factors = jnp.where(piv_ok, E[:, j], jnp.zeros((), E.dtype))
+        factors = factors.at[i].set(0.0)
+        E = E - factors[:, None] * r[None, :]
+        E = E.at[i].set(jnp.where(piv_ok, r, row))
+        keep = keep.at[i].set(piv_ok)
+        return E, keep
+
+    keep0 = jnp.zeros((R,), dtype=bool)
+    E, keep = jax.lax.fori_loop(0, R, step, (E, keep0))
+    return E, keep
+
+
+def masked_gj_purge(A: jax.Array, b: jax.Array, row_mask: jax.Array, tol):
+    """Independent-row selection on the augmented system [A | b].
+
+    Args:
+      A: (R, C) working constraint matrix (inactive rows may be arbitrary).
+      b: (R,) right-hand side.
+      row_mask: (R,) bool — rows participating (active working rows).
+      tol: absolute pivot tolerance (reference default 2**-33, utils.jl:49).
+
+    Returns:
+      keep: (R,) bool — independent active rows (keep ⊆ row_mask).
+      inconsistent: () bool — some active row reduced to [~0 | beta], |beta|>tol.
+    """
+    rm = row_mask.astype(A.dtype)
+    E = jnp.concatenate([A * rm[:, None], (b * rm)[:, None]], axis=1)
+    E, keep = _gj_sweep(E, tol, A.shape[1])
+    dropped = row_mask & ~keep
+    inconsistent = jnp.any(dropped & (jnp.abs(E[:, -1]) > tol))
+    return keep, inconsistent
+
+
+def masked_row_rank(A: jax.Array, row_mask: jax.Array, tol):
+    """Number of independent active rows of A (masked rank)."""
+    rm = row_mask.astype(A.dtype)
+    _, keep = _gj_sweep(A * rm[:, None], tol, A.shape[1])
+    return jnp.sum(keep.astype(jnp.int32)), keep
+
+
+def masked_independent_cols(
+    A: jax.Array, col_mask: jax.Array, priority: jax.Array, tol
+):
+    """Greedy maximal independent column subset, lowest `priority` first.
+
+    TPU-native equivalent of the basis-repair step `getRowsGJr(A0[:, ic]')`
+    in SimplexLP's artificial-variable drive-out (reference Simplex.jl:962-977):
+    columns are visited in ascending (priority, index) order and kept iff
+    independent of the kept set. Returns a bool mask over columns.
+
+    Implemented by permuting columns, running the row-wise sweep on the
+    transpose, and scattering the keep mask back.
+    """
+    C = A.shape[1]
+    order = jnp.argsort(priority, stable=True)
+    At = A.T[order]  # (C, R) rows in priority order
+    cm = col_mask[order].astype(A.dtype)
+    _, keep_perm = _gj_sweep(At * cm[:, None], tol, A.shape[0])
+    keep = jnp.zeros((C,), bool).at[order].set(keep_perm)
+    return keep & col_mask

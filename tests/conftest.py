@@ -1,0 +1,21 @@
+"""Test configuration: CPU platform with 8 virtual devices, float64 enabled.
+
+Correctness CI runs entirely on CPU-JAX (mirrors the reference's CPU-only CI,
+SURVEY.md §4); multi-chip sharding is exercised on a virtual 8-device mesh via
+--xla_force_host_platform_device_count. Note: this image preloads jax with an
+`axon` TPU backend via sitecustomize, so we must flip the platform *after*
+import but before any backend use.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402 (already preloaded by sitecustomize)
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
