@@ -71,17 +71,22 @@ def kkt_solve(V, q, AG, bg, z, free, keep) -> KKTResult:
     bp = km * (bg - AG @ zB)
 
     L = _chol(Vp, lower=True)
-    # w = Vp^{-1} cp ; mT = Vp^{-1} Ap'
-    rhs = jnp.concatenate([cp[:, None], Ap.T], axis=1)
-    sol = cho_solve((L, True), rhs)
-    w, mT = sol[:, 0], sol[:, 1:]
+    if AG.shape[0] == 0:  # unconstrained working set (M = J = 0)
+        w = cho_solve((L, True), cp)
+        alphaL = jnp.zeros((0,), dtype)
+        alpha_f = -w
+    else:
+        # w = Vp^{-1} cp ; mT = Vp^{-1} Ap'
+        rhs = jnp.concatenate([cp[:, None], Ap.T], axis=1)
+        sol = cho_solve((L, True), rhs)
+        w, mT = sol[:, 0], sol[:, 1:]
 
-    C = Ap @ mT
-    C = (C + C.T) / 2 + jnp.diag(1.0 - km)
-    Lc = _chol(C, lower=True)
-    alphaL = -cho_solve((Lc, True), Ap @ w + bp)
+        C = Ap @ mT
+        C = (C + C.T) / 2 + jnp.diag(1.0 - km)
+        Lc = _chol(C, lower=True)
+        alphaL = -cho_solve((Lc, True), Ap @ w + bp)
 
-    alpha_f = -(mT @ alphaL + w)
+        alpha_f = -(mT @ alphaL + w)
     alpha = fm * alpha_f + bm * z
     p = fm * (alpha_f - z)
 

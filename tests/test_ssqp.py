@@ -1,0 +1,111 @@
+"""S-loop solver tests: reference smoke problems + constructed-optimum battery."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssqp_tpu import DN, EO, IN, OE, UP, Settings, make_qp
+from ssqp_tpu.solvers.ssqp import solve_qp, solve_qp_loop
+from ssqp_tpu.utils.problems import (
+    generate_qp_known_opt,
+    kkt_residual,
+    portfolio_start,
+)
+
+
+def warm(Q, z0, Sx0, Se0=None, settings=None):
+    settings = settings or Settings()
+    Se0 = np.full(Q.J, OE, np.int8) if Se0 is None else Se0
+    return solve_qp_loop(
+        Q, jnp.asarray(Sx0, jnp.int8), jnp.asarray(Se0, jnp.int8),
+        jnp.asarray(z0), settings,
+    )
+
+
+def test_reference_three_asset_portfolio():
+    """The reference's smoke QP (test/runtests.jl:22-32): expects S=[UP,IN,IN]."""
+    V = np.array([
+        [1 / 100, 1 / 80, 1 / 100],
+        [1 / 80, 1 / 16, 1 / 40],
+        [1 / 100, 1 / 40, 1 / 25],
+    ])
+    up = np.array([0.7, np.inf, 0.7])
+    Q = make_qp(V, u=up)
+    z0, Sx0 = portfolio_start(np.zeros(3), up)
+    res = warm(Q, z0, Sx0)
+    assert int(res.status) > 0
+    np.testing.assert_array_equal(np.asarray(res.S), [UP, IN, IN])
+    z = np.asarray(res.x)
+    assert abs(z.sum() - 1.0) < 1e-9
+    assert abs(z[0] - 0.7) < 1e-9
+    r = kkt_residual(V, np.zeros(3), np.ones((1, 3)), np.ones(1),
+                     np.zeros((0, 3)), np.zeros(0), np.zeros(3), up, z)
+    assert r["max"] < 1e-8
+
+
+def test_equal_weight_unconstrained_interior():
+    # V = I, no bounds active: optimum z = 1/N each
+    N = 8
+    Q = make_qp(np.eye(N))
+    z0, Sx0 = portfolio_start(np.zeros(N), np.full(N, np.inf))
+    res = warm(Q, z0, Sx0)
+    assert int(res.status) > 0
+    np.testing.assert_allclose(np.asarray(res.x), np.full(N, 1 / N), atol=1e-10)
+    assert (np.asarray(res.S) == IN).all()
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_constructed_optimum_no_ineq(seed):
+    gp = generate_qp_known_opt(seed, N=12, M=3, J=0, n_dn=3, n_up=2, j_act=0)
+    Q = make_qp(gp.V, gp.q, gp.A, gp.b, d=gp.d, u=gp.u)
+    # warm start from a feasible-ish point: project x_opt interior? Use the
+    # optimum's own statuses but start all-IN at a feasible point: x_opt is
+    # feasible, start there with all-IN statuses (loop must still verify).
+    Sx0 = np.full(gp.x_opt.shape, IN, np.int8)
+    res = warm(Q, gp.x_opt, Sx0)
+    assert int(res.status) > 0
+    np.testing.assert_allclose(np.asarray(res.x), gp.x_opt, atol=1e-7)
+    f = 0.5 * np.asarray(res.x) @ gp.V @ np.asarray(res.x) + gp.q @ np.asarray(res.x)
+    assert abs(f - gp.f_opt) < 1e-8
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_constructed_optimum_with_ineq(seed):
+    gp = generate_qp_known_opt(100 + seed, N=10, M=2, J=4, n_dn=2, n_up=1, j_act=2)
+    Q = make_qp(gp.V, gp.q, gp.A, gp.b, G=gp.G, g=gp.g, d=gp.d, u=gp.u)
+    Sx0 = np.full(gp.x_opt.shape, IN, np.int8)
+    Se0 = np.full(4, OE, np.int8)
+    res = warm(Q, gp.x_opt, Sx0, Se0)
+    assert int(res.status) > 0
+    np.testing.assert_allclose(np.asarray(res.x), gp.x_opt, atol=1e-7)
+    r = kkt_residual(gp.V, gp.q, gp.A, gp.b, gp.G, gp.g, gp.d, gp.u,
+                     np.asarray(res.x))
+    assert r["max"] < 1e-7
+
+
+def test_status_vector_matches_constructed_active_set():
+    gp = generate_qp_known_opt(7, N=10, M=2, J=3, n_dn=2, n_up=2, j_act=1)
+    Q = make_qp(gp.V, gp.q, gp.A, gp.b, G=gp.G, g=gp.g, d=gp.d, u=gp.u)
+    res = warm(Q, gp.x_opt, np.full(10, IN, np.int8), np.full(3, OE, np.int8))
+    assert int(res.status) > 0
+    S = np.asarray(res.S)
+    np.testing.assert_array_equal(S[:10], gp.Sx_opt)
+    np.testing.assert_array_equal(S[10:], gp.Se_opt)
+
+
+def test_invalid_model_mc():
+    # d == u triggers mc=-30 -> status -1 without solving (SSQP.jl:226-228)
+    Q = make_qp(np.eye(2), d=np.array([0.3, 0.0]), u=np.array([0.3, 1.0]))
+    res = solve_qp(Q)
+    assert int(res.status) == -1
+
+
+def test_warm_start_from_wrong_active_set():
+    # start at a vertex with wrong statuses; loop must switch to the optimum
+    gp = generate_qp_known_opt(3, N=8, M=1, J=0, n_dn=2, n_up=1, j_act=0)
+    Q = make_qp(gp.V, gp.q, gp.A, gp.b, d=gp.d, u=gp.u)
+    # feasible start: x_opt with every at-bound variable marked, others IN
+    Sx0 = gp.Sx_opt.copy()
+    res = warm(Q, gp.x_opt, Sx0)
+    assert int(res.status) > 0
+    np.testing.assert_allclose(np.asarray(res.x), gp.x_opt, atol=1e-7)
