@@ -46,7 +46,7 @@ def __getattr__(name):  # lazy imports to keep package import light
         from ssqp_tpu.solvers.ssqp import solve_qp
         return solve_qp
     if name == "simplex_lp":
-        from ssqp_tpu.solvers.simplex import simplex_lp
+        from ssqp_tpu.solvers.lp import simplex_lp
         return simplex_lp
     if name == "solve_lp":
         from ssqp_tpu.solvers.cclp import solve_lp

@@ -1,0 +1,154 @@
+"""Two-phase bounded-variable simplex LP driver, fixed shapes.
+
+TPU-native re-design of the reference's `SimplexLP` (reference:
+src/Simplex.jl:831-1034): standardize (slacks, free-variable split, one-sided
+flip), purge redundant equality rows, Phase-1 from a +-identity artificial
+basis, drive artificial variables out of the basis, Phase-2 on the real cost,
+then recover x and statuses.
+
+Fixed-shape translation notes:
+  * the redundancy purge (Simplex.jl:889-902) zeroes dependent rows instead of
+    deleting them; the artificial column of a zeroed row stays basic at 0 and
+    its +-1 identity entry keeps every basis nonsingular;
+  * the artificial drive-out `getRowsGJr(A0[:, ic]')` (Simplex.jl:962-977)
+    becomes a priority-ordered masked independent-column selection
+    (ops/masked_gj.py), preferring current real basic columns;
+  * Phase-2 pins artificials with d=u=0 and excludes them from candidacy, so a
+    degenerate artificial left basic for a purged row stays at 0 forever;
+  * the free-variable infinitely-many re-check (Simplex.jl:995-1021) is only
+    applied to optimal outcomes — the reference would overwrite an unbounded
+    status there, which is unintended.
+
+Returns the reference contract (x, S, status): S of length N+J over variables
+and inequality rows, status 1 unique / 2 infinitely many / 3 unbounded /
+0 infeasible / -1 numerical error / -max_iter iteration limit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ssqp_tpu.ops.masked_gj import masked_gj_purge, masked_independent_cols
+from ssqp_tpu.solvers.phase1 import recover_x_status, standardize_bounded
+from ssqp_tpu.solvers.simplex import bounded_simplex
+from ssqp_tpu.types import DN, IN, LP, OE, Result, Settings, UP
+
+
+@partial(jax.jit, static_argnames=("settings", "minimize"))
+def simplex_lp_traced(P: LP, settings: Settings, minimize: bool = True) -> Result:
+    c, A, G, b, g, d, u = P.c, P.A, P.G, P.b, P.g, P.d, P.u
+    N, M, J = P.N, P.M, P.J
+    R = M + J
+    dtype = c.dtype
+    tol = settings.tol
+    N0 = 2 * N + J
+    Nt = N0 + R
+
+    std = standardize_bounded(A, G, b, g, d, u)
+    A0 = std.A1[:, :N0]
+    b0 = std.b0
+
+    # ---- purge redundant rows of the standardized system ------------------
+    keep_rows, inconsistent = masked_gj_purge(A0, b0, jnp.ones((R,), bool), tol)
+    rm = keep_rows.astype(dtype)
+    A0p = A0 * rm[:, None]
+    b0p = b0 * rm
+    q0 = A0p @ std.d1[:N0]
+    sigma = jnp.where(b0p >= q0, 1.0, -1.0).astype(dtype)
+    A1 = jnp.concatenate([A0p, jnp.diag(sigma)], axis=1)
+
+    # ---- Phase 1 ------------------------------------------------------------
+    c1 = jnp.concatenate([jnp.zeros((N0,), dtype), jnp.ones((R,), dtype)])
+    st1, x1, B1, S1, _ = bounded_simplex(
+        c1, A1, b0p, std.d1, std.u1, std.B0, std.S0, std.x0, std.real,
+        tol=tol, max_iter=settings.max_iter, rule=settings.rule,
+    )
+    f_art = jnp.sum(x1[N0:])
+    infeasible = (f_art > tol) | inconsistent
+
+    # ---- drive artificials out of the basis ---------------------------------
+    col_ids = jnp.arange(Nt)
+    basic_cols = jnp.zeros((Nt,), bool).at[B1].set(True)
+    nonart = col_ids < N0
+    art_row = jnp.clip(col_ids - N0, 0, R - 1)
+    art_for_purged = (col_ids >= N0) & ~keep_rows[art_row]
+    col_mask = nonart | (art_for_purged & basic_cols)
+    priority = jnp.where(basic_cols & col_mask, 0, jnp.where(nonart, 1, 2))
+    keep_cols = masked_independent_cols(A1, col_mask, priority, tol)
+    B2 = jnp.nonzero(keep_cols, size=R, fill_value=0)[0].astype(jnp.int32)
+    need = jnp.any(B1 >= N0)
+    B2 = jnp.where(need, B2, B1)
+    newly = keep_cols & ~basic_cols
+    dropped = basic_cols & ~keep_cols
+    S2 = jnp.where(
+        need & newly, IN, jnp.where(need & dropped, DN, S1)
+    ).astype(jnp.int8)
+
+    # ---- Phase 2 ------------------------------------------------------------
+    sgn = jnp.where(std.flip, -1.0, 1.0).astype(dtype)
+    c0 = jnp.concatenate([
+        c * sgn,
+        jnp.zeros((J,), dtype),
+        jnp.where(std.fv, -c, 0.0),
+        jnp.zeros((R,), dtype),
+    ])
+    if not minimize:
+        c0 = -c0
+    d2 = std.d1  # artificials already have d = 0
+    u2 = std.u1.at[N0:].set(0.0)  # pin artificials
+    real2 = std.real.at[N0:].set(False)
+    st2, x2, B3, S3, _ = bounded_simplex(
+        c0, A1, b0p, d2, u2, B2, S2, x1, real2,
+        tol=tol, max_iter=settings.max_iter, rule=settings.rule,
+    )
+
+    # ---- recovery -----------------------------------------------------------
+    xo, So, Se = recover_x_status(x2, S3, std, N, J)
+
+    # free-variable infinitely-many re-check (Simplex.jl:995-1021)
+    any_fv = jnp.any(std.fv)
+    nj = N + J
+    Bm = jnp.where((B3 >= nj) & (B3 < nj + N), B3 - nj, B3)
+    Bs = jnp.sort(Bm)
+    dup = jnp.any(Bs[1:] == Bs[:-1])
+    A_nj = A1[:, :nj]
+    c_nj = c0[:nj]
+    Bc = jnp.clip(Bm, 0, nj - 1)
+    wv = jnp.linalg.solve(A_nj[:, Bc].T, c_nj[Bc])
+    h_nj = c_nj - A_nj.T @ wv
+    in_b = jnp.zeros((nj,), bool).at[jnp.clip(Bm, 0, nj - 1)].set(True)
+    ms = jnp.any((jnp.abs(h_nj) < tol) & ~in_b) | dup | ~jnp.all(jnp.isfinite(wv))
+    recheck = jnp.where(ms, 2, 1)
+    optimal = (st2 == 1) | (st2 == 2)
+    status = jnp.where(any_fv & optimal, recheck, st2)
+
+    status = jnp.where(infeasible, 0, status).astype(jnp.int32)
+    S = jnp.concatenate([So, Se]) if J > 0 else So
+    return Result(xo, S, status)
+
+
+def simplex_lp(P: LP, *, settings: Settings | None = None, minimize: bool = True) -> Result:
+    """Solve an LP by two-phase simplex (reference SimplexLP, Simplex.jl:831)."""
+    settings = settings or Settings.for_dtype(P.c.dtype)
+    if P.mc <= 0:
+        S = jnp.concatenate(
+            [jnp.full((P.N,), DN, jnp.int8), jnp.full((P.J,), OE, jnp.int8)]
+        ) if P.J > 0 else jnp.full((P.N,), DN, jnp.int8)
+        return Result(jnp.zeros((P.N,), P.c.dtype), S, jnp.asarray(-1, jnp.int32))
+    if P.M + P.J == 0:
+        from ssqp_tpu.solvers.boxlp import box_lp
+
+        return box_lp(P, settings=settings, minimize=minimize)
+    return simplex_lp_traced(P, settings, minimize)
+
+
+def simplex_lp_standard(c, A, b, d, u, *, settings=None, minimize=True) -> Result:
+    """Pre-standardized variant (reference SimplexLP(c,A,b,d,u),
+    Simplex.jl:1036): no inequality rows, bounds may be infinite."""
+    from ssqp_tpu.types import make_lp
+
+    P = make_lp(c, A, b, d=d, u=u)
+    return simplex_lp(P, settings=settings, minimize=minimize)

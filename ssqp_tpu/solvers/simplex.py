@@ -1,0 +1,200 @@
+"""Bounded-variable dense simplex, fixed-shape under `jit`/`vmap`.
+
+TPU-native re-design of the reference's pivot kernels and two-phase driver
+(reference: src/Simplex.jl). The shared kernel contract matches
+Simplex.jl:422-443: solve ``min c'x s.t. Ax=b, d<=x<=u`` (d finite, u may be
++inf) from a starting basis B / status vector S, with bound-flip pivots
+(entering variable travels to its opposite bound, Simplex.jl:516-578) and the
+accuracy-first choice of re-factorizing the basis from scratch every pivot
+(Simplex.jl:590 uses an explicit inverse; here an LU factorization + solves).
+
+Pivot rules (Settings.rule):
+  * 'dantzig'        — Dantzig combined with the Largest-Distance rule
+                       (score h / ||A_col||, Simplex.jl:463-495), switching to
+                       Bland's rule after Nt iterations (Simplex.jl:486-490);
+  * 'max_improvement'— greatest improvement |h·theta| over all candidates
+                       (Simplex.jl:678-759), vectorized: the ratio test runs
+                       for every candidate column at once;
+  * 'steepest_edge'  — se = h^2 / (1 + ||Y_col||^2) (Simplex.jl:92-99).
+
+Instead of Julia's dynamic index sets, the basis is an int32 vector, statuses
+are int8, candidate filtering is by boolean masks, and padded "dummy" columns
+(used by the fixed-shape standardizer in phase1.py) are excluded via a `real`
+column mask. Status codes: 1 unique, 2 infinitely many, 3 unbounded,
+-1 numerical error, -max_iter iteration limit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import lu_factor, lu_solve
+
+from ssqp_tpu.types import DN, IN, UP
+
+_INF = jnp.inf
+
+
+class SimplexState(NamedTuple):
+    B: jax.Array  # (R,) int32 basis column indices
+    S: jax.Array  # (Nt,) int8 statuses (IN = basic)
+    x: jax.Array  # (Nt,) values (basic entries refreshed each iteration)
+    it: jax.Array
+    done: jax.Array
+    status: jax.Array
+
+
+def bounded_simplex(
+    c, Amat, b, d, u, B0, S0, x0, real, *, tol, max_iter, rule: str = "dantzig"
+):
+    """Run the bounded-variable simplex. Returns (status, x, B, S, iters).
+
+    All arguments are fixed-shape arrays; `real` masks out padded dummy
+    columns (zero column, d=u=0) from candidacy and from the
+    infinitely-many-solutions check.
+    """
+    Nt = c.shape[0]
+    R = b.shape[0]
+    dtype = c.dtype
+    tol = jnp.asarray(tol, dtype)
+
+    cA = jnp.sqrt(jnp.sum(Amat * Amat, axis=0))  # column norms, Simplex.jl:463
+    cA_safe = jnp.where(cA > 0, cA, 1.0)
+    ud = u - d
+    fu = jnp.isfinite(u)
+    arange = jnp.arange(Nt)
+
+    def body(st: SimplexState) -> SimplexState:
+        B, S, x, it = st.B, st.S, st.x, st.it + 1
+        in_basis = jnp.zeros((Nt,), bool).at[B].set(True)
+        A_B = Amat[:, B]
+        lufac = lu_factor(A_B)
+        w = lu_solve(lufac, c[B], trans=1)  # A_B' w = c_B
+        h = c - Amat.T @ w  # reduced costs (basic entries ~0)
+        xn = jnp.where(in_basis, 0.0, x)
+        qv = lu_solve(lufac, b - Amat @ xn, trans=0)  # basic values
+        xb = jnp.zeros((Nt,), dtype).at[B].set(qv)
+        x2 = jnp.where(in_basis, xb, x)
+
+        ht = jnp.where(S == DN, -h, h)  # sign-flip so improving is ht > tol
+        cand = (~in_basis) & real & (ud > 0) & (ht > tol)
+        anyc = jnp.any(cand)
+        ms = jnp.any((jnp.abs(ht) < tol) & (~in_basis) & real & (ud > 0))
+        status_opt = jnp.where(ms, 2, 1)
+
+        # ---- entering variable ------------------------------------------------
+        bland = it > Nt  # anti-cycling switch (Simplex.jl:486-490)
+        if rule == "dantzig":
+            score = jnp.where(cand, ht / cA_safe, -_INF)
+            k_rule = jnp.argmax(score)
+        elif rule == "steepest_edge":
+            Y = lu_solve(lufac, Amat, trans=0)  # (R, Nt)
+            se = ht * ht / (1.0 + jnp.sum(Y * Y, axis=0))
+            k_rule = jnp.argmax(jnp.where(cand, se, -_INF))
+        elif rule == "max_improvement":
+            Y = lu_solve(lufac, Amat, trans=0)  # (R, Nt) all candidate columns
+            theta = _all_ratio(Y, qv, S, B, d, u, ud, fu, tol)
+            k_rule = jnp.argmax(jnp.where(cand, jnp.abs(ht * theta), -_INF))
+        else:
+            raise ValueError(f"unknown pivot rule {rule!r}")
+        k_bland = jnp.argmin(jnp.where(cand, arange, Nt + 1))
+        k = jnp.where(bland, k_bland, k_rule).astype(jnp.int32)
+
+        p = lu_solve(lufac, Amat[:, k], trans=0)
+        numbad = ~(
+            jnp.all(jnp.isfinite(w)) & jnp.all(jnp.isfinite(qv))
+        ) | (anyc & ~jnp.all(jnp.isfinite(p)))
+
+        # ---- ratio test (both entering directions, select by kd) --------------
+        kd = S[k] == DN
+        db, ub = d[B], u[B]
+        pos = p > tol
+        neg = p < -tol
+        lo_g = (qv - db) / jnp.where(p == 0, 1.0, p)
+        hi_g = (qv - ub) / jnp.where(p == 0, 1.0, p)
+        # entering from DN: step up; blocking ratios positive
+        gt_dn = jnp.where(pos, lo_g, jnp.where(neg, hi_g, _INF))
+        Sb_dn = jnp.where(pos, DN, UP)
+        # entering from UP: step down; blocking ratios negative
+        gt_up = jnp.where(pos, hi_g, jnp.where(neg, lo_g, -_INF))
+        Sb_up = jnp.where(pos, UP, DN)
+
+        l_dn = jnp.argmin(gt_dn)
+        l_up = jnp.argmax(gt_up)
+        l = jnp.where(kd, l_dn, l_up)
+        gl = jnp.where(kd, gt_dn[l_dn], gt_up[l_up])
+        Sl = jnp.where(kd, Sb_dn[l], Sb_up[l]).astype(S.dtype)
+
+        flip = jnp.where(
+            kd,
+            fu[k] & (gl >= ud[k]),  # DN -> UP (Simplex.jl:516-531)
+            gl <= (d[k] - u[k]),  # UP -> DN (Simplex.jl:558-567)
+        )
+        unbounded = anyc & kd & ~fu[k] & ~jnp.isfinite(gl)
+
+        do_flip = anyc & ~numbad & ~unbounded & flip
+        do_pivot = anyc & ~numbad & ~unbounded & ~flip
+
+        i_leave = B[l]
+        B1 = B.at[l].set(jnp.where(do_pivot, k, B[l]))
+        S1 = S.at[i_leave].set(jnp.where(do_pivot, Sl, S[i_leave]).astype(S.dtype))
+        k_status = jnp.where(do_pivot, IN, jnp.where(kd, UP, DN))
+        S1 = S1.at[k].set(
+            jnp.where(do_pivot | do_flip, k_status, S1[k]).astype(S.dtype)
+        )
+        x1 = x2.at[i_leave].set(
+            jnp.where(
+                do_pivot,
+                jnp.where(Sl == DN, d[i_leave], u[i_leave]),
+                x2[i_leave],
+            )
+        )
+        x1 = x1.at[k].set(
+            jnp.where(do_flip, jnp.where(kd, u[k], d[k]), x1[k])
+        )
+
+        done_n = numbad | ~anyc | unbounded
+        status_n = jnp.where(
+            numbad,
+            -1,
+            jnp.where(~anyc, status_opt, jnp.where(unbounded, 3, 0)),
+        ).astype(jnp.int32)
+        return SimplexState(B1, S1, x1, it, done_n, status_n)
+
+    def cond(st: SimplexState):
+        return (~st.done) & (st.it < max_iter)
+
+    st0 = SimplexState(
+        B0.astype(jnp.int32),
+        S0.astype(jnp.int8),
+        x0.astype(dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+    )
+    st = jax.lax.while_loop(cond, body, st0)
+    status = jnp.where(st.done, st.status, -max_iter).astype(jnp.int32)
+    return status, st.x, st.B, st.S, st.it
+
+
+def _all_ratio(Y, qv, S, B, d, u, ud, fu, tol):
+    """Vectorized ratio test over every column (greatest-improvement rule,
+    Simplex.jl:678-759): step length theta_k achievable by each candidate."""
+    db, ub = d[B], u[B]
+    pos = Y > tol
+    neg = Y < -tol
+    Ysafe = jnp.where(Y == 0, 1.0, Y)
+    lo_g = (qv[:, None] - db[:, None]) / Ysafe
+    hi_g = (qv[:, None] - ub[:, None]) / Ysafe
+    gt_dn = jnp.where(pos, lo_g, jnp.where(neg, hi_g, _INF))
+    gt_up = jnp.where(pos, hi_g, jnp.where(neg, lo_g, -_INF))
+    g_dn = jnp.minimum(jnp.min(gt_dn, axis=0), jnp.where(fu, ud, _INF))
+    g_up = jnp.maximum(jnp.max(gt_up, axis=0), -ud)
+    kd = S == DN
+    # theta stays +inf for a DN candidate with no blocking row and no upper
+    # bound: infinite improvement, argmax then selects it and the main ratio
+    # test declares the problem unbounded (Simplex.jl:707-711).
+    return jnp.where(kd, g_dn, g_up)

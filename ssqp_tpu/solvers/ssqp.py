@@ -75,10 +75,11 @@ def _free_k(z, Sx, V, q, tol):
 
 
 @partial(jax.jit, static_argnames=("settings",))
-def solve_qp_loop(Q: QP, Sx0, Se0, x0, settings: Settings) -> Result:
+def solve_qp_loop(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> Result:
     """Run the S-loop from a warm start (reference solveQP(Q, S, x0),
     SSQP.jl:237-377). ``Sx0``/``Se0`` are int8 status arrays, ``x0`` a feasible
-    point consistent with them."""
+    point consistent with them. ``pre_status`` (traced int32) lets a fused
+    Phase-1 short-circuit the loop: <= 0 means already done with that code."""
     V, A, G, q, b, g = Q.V, Q.A, Q.G, Q.q, Q.b, Q.g
     d, u = Q.d, Q.u
     N, M, J = Q.N, Q.M, Q.J
@@ -194,13 +195,14 @@ def solve_qp_loop(Q: QP, Sx0, Se0, x0, settings: Settings) -> Result:
     def cond(st: _LoopState):
         return (~st.done) & (st.it < settings.max_iter)
 
+    pre = jnp.asarray(1 if pre_status is None else pre_status, jnp.int32)
     st0 = _LoopState(
         x0.astype(dtype),
         Sx0.astype(jnp.int8),
         Se0.astype(jnp.int8),
         jnp.asarray(0, jnp.int32),
-        jnp.asarray(False),
-        jnp.asarray(0, jnp.int32),
+        pre <= 0,
+        jnp.where(pre <= 0, pre, 0).astype(jnp.int32),
     )
     st = jax.lax.while_loop(cond, body, st0)
     status = jnp.where(st.done, st.status, -settings.max_iter).astype(jnp.int32)
@@ -231,15 +233,22 @@ def solve_qp(
         return Result(jnp.zeros((Q.N,), Q.V.dtype), S_out, jnp.asarray(-1, jnp.int32))
 
     if S is None or x0 is None:
-        from ssqp_tpu.solvers.phase1 import init_qp
-
-        x0_, Sx0, Se0, st1 = init_qp(Q, settings_lp or settings)
-        if int(st1) <= 0:
-            S_out = jnp.concatenate([Sx0, Se0]) if Q.J > 0 else Sx0
-            return Result(x0_, S_out, jnp.asarray(int(st1), jnp.int32))
-        Sx0, Se0, x0 = Sx0, Se0, x0_
-    else:
-        S = jnp.asarray(S, jnp.int8)
-        Sx0, Se0 = S[: Q.N], S[Q.N :]
-        x0 = jnp.asarray(x0, Q.V.dtype)
+        return solve_qp_auto(Q, settings=settings, settings_lp=settings_lp)
+    S = jnp.asarray(S, jnp.int8)
+    Sx0, Se0 = S[: Q.N], S[Q.N :]
+    x0 = jnp.asarray(x0, Q.V.dtype)
     return solve_qp_loop(Q, Sx0, Se0, x0, settings)
+
+
+@partial(jax.jit, static_argnames=("settings", "settings_lp"))
+def solve_qp_auto(Q: QP, settings: Settings, settings_lp: Optional[Settings] = None) -> Result:
+    """Fully-traced Phase-1 + S-loop (reference solveQP(Q::QP), SSQP.jl:224-234).
+
+    Jit-compatible end to end, so it `vmap`s over instance batches and
+    `shard_map`s over device meshes: an infeasible Phase-1 short-circuits the
+    S-loop through its ``pre_status`` flag rather than a host branch.
+    """
+    from ssqp_tpu.solvers.phase1 import init_qp_traced
+
+    x0, Sx0, Se0, st1 = init_qp_traced(Q, settings_lp or settings)
+    return solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=st1)

@@ -1,0 +1,149 @@
+"""Two-phase simplex LP driver vs scipy.optimize.linprog oracle."""
+
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+from ssqp_tpu import DN, EO, IN, OE, UP, Settings, make_lp
+from ssqp_tpu.solvers.boxlp import box_lp
+from ssqp_tpu.solvers.lp import simplex_lp
+
+
+def oracle(c, A, b, G, g, d, u):
+    bounds = [(di if np.isfinite(di) else None, ui if np.isfinite(ui) else None)
+              for di, ui in zip(d, u)]
+    r = linprog(c, A_ub=G if len(g) else None, b_ub=g if len(g) else None,
+                A_eq=A if len(b) else None, b_eq=b if len(b) else None,
+                bounds=bounds, method="highs")
+    return r
+
+
+def test_reference_unbounded_smoke():
+    """Reference smoke test (test/runtests.jl:7-19): expects status 3."""
+    c = np.array([-3.0, -2.0])
+    G = np.array([[-1.0, 3.0], [1.0, -5.0]])
+    g = np.array([12.0, 5.0])
+    P = make_lp(c, G=G, g=g, d=np.zeros(2), u=np.full(2, np.inf))
+    res = simplex_lp(P)
+    assert int(res.status) == 3
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_feasible_lp_vs_scipy(seed):
+    rng = np.random.default_rng(seed)
+    N, M, J = 8, 2, 4
+    A = rng.standard_normal((M, N))
+    G = rng.standard_normal((J, N))
+    x_feas = rng.uniform(0.2, 0.8, N)
+    b = A @ x_feas
+    g = G @ x_feas + rng.uniform(0.1, 1.0, J)
+    c = rng.standard_normal(N)
+    d = np.zeros(N)
+    u = np.ones(N)
+    P = make_lp(c, A, b, G=G, g=g, d=d, u=u)
+    res = simplex_lp(P)
+    ref = oracle(c, A, b, G, g, d, u)
+    assert ref.status == 0
+    assert int(res.status) in (1, 2)
+    f = float(c @ np.asarray(res.x))
+    assert abs(f - ref.fun) < 1e-7, (f, ref.fun)
+    # feasibility of our solution
+    x = np.asarray(res.x)
+    assert np.abs(A @ x - b).max() < 1e-8
+    assert (G @ x - g).max() < 1e-8
+    assert x.min() > -1e-9 and x.max() < 1 + 1e-9
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_lp_free_variables_vs_scipy(seed):
+    rng = np.random.default_rng(100 + seed)
+    N, M = 6, 3
+    A = rng.standard_normal((M, N))
+    b = A @ rng.standard_normal(N)
+    c = rng.standard_normal(N)
+    d = np.full(N, -np.inf)
+    u = np.full(N, np.inf)
+    d[:3] = -1.0  # mix: 3 half-bounded below, 3 free
+    # bound the problem: add box on a few coords via G
+    G = np.vstack([np.eye(N), -np.eye(N)])
+    g = np.full(2 * N, 5.0)
+    P = make_lp(c, A, b, G=G, g=g, d=d, u=u)
+    res = simplex_lp(P)
+    ref = oracle(c, A, b, G, g, d, u)
+    if ref.status == 0:
+        assert int(res.status) in (1, 2)
+        f = float(c @ np.asarray(res.x))
+        assert abs(f - ref.fun) < 1e-7
+    else:
+        assert int(res.status) in (0, 3)
+
+
+def test_lp_infeasible():
+    # x1 + x2 = 1 with x >= 1 each
+    c = np.array([1.0, 1.0])
+    A = np.ones((1, 2))
+    b = np.array([1.0])
+    P = make_lp(c, A, b, d=np.array([1.0, 1.0]))
+    res = simplex_lp(P)
+    assert int(res.status) == 0
+
+
+def test_lp_redundant_rows():
+    rng = np.random.default_rng(5)
+    N = 6
+    A1 = rng.standard_normal((2, N))
+    A = np.vstack([A1, A1[0] + A1[1]])  # redundant third row
+    x_feas = rng.uniform(0.2, 0.8, N)
+    b = A @ x_feas
+    c = rng.standard_normal(N)
+    P = make_lp(c, A, b, d=np.zeros(N), u=np.ones(N))
+    res = simplex_lp(P)
+    ref = oracle(c, A, b, np.zeros((0, N)), np.zeros(0), np.zeros(N), np.ones(N))
+    assert int(res.status) in (1, 2)
+    assert abs(float(c @ np.asarray(res.x)) - ref.fun) < 1e-7
+
+
+def test_lp_upper_only_variables():
+    # (-inf, u] variables exercise the flip path
+    rng = np.random.default_rng(6)
+    N, M = 5, 2
+    A = rng.standard_normal((M, N))
+    b = A @ rng.uniform(-1, 0, N)
+    c = rng.uniform(0.5, 1.5, N)  # positive costs; lower unbounded dims bounded by A? keep box via G
+    G = -np.eye(N)
+    g = np.full(N, 3.0)  # x >= -3
+    d = np.full(N, -np.inf)
+    u = np.zeros(N)
+    P = make_lp(c, A, b, G=G, g=g, d=d, u=u)
+    res = simplex_lp(P)
+    ref = oracle(c, A, b, G, g, d, u)
+    assert ref.status == 0
+    assert int(res.status) in (1, 2)
+    assert abs(float(c @ np.asarray(res.x)) - ref.fun) < 1e-7
+
+
+def test_maximize():
+    c = np.array([1.0, 2.0])
+    A = np.ones((1, 2))
+    b = np.array([1.0])
+    P = make_lp(c, A, b, d=np.zeros(2), u=np.ones(2))
+    res = simplex_lp(P, minimize=False)
+    assert int(res.status) in (1, 2)
+    np.testing.assert_allclose(np.asarray(res.x), [0.0, 1.0], atol=1e-9)
+
+
+def test_box_lp():
+    c = np.array([1.0, -2.0, 0.0])
+    P = make_lp(c, d=np.array([-1.0, -1, -1]), u=np.array([2.0, 2, 2]))
+    res = box_lp(P)
+    np.testing.assert_allclose(np.asarray(res.x), [-1.0, 2.0, -1.0])
+    assert int(res.status) == 2  # zero cost coordinate -> infinitely many
+    S = np.asarray(res.S)
+    assert S[0] == DN and S[1] == UP
+
+
+def test_box_lp_unbounded():
+    c = np.array([1.0, 1.0])
+    P = make_lp(c, d=np.array([-np.inf, 0.0]), u=np.array([1.0, 1.0]))
+    res = box_lp(P)
+    assert int(res.status) == 3
