@@ -1,0 +1,110 @@
+"""Instance batching: `vmap` over QP/LP problem batches.
+
+The reference solves one problem per call on one CPU core; the TPU-native
+scaling dimension is the *instance batch* (SURVEY.md §5 "long-context" row:
+the scaling axes here are N, M+J, and the number of QP instances). A batch is
+a QP/LP pytree whose array leaves carry a leading batch axis; leaves may also
+be shared across the batch (e.g. one covariance V, many linear terms q for an
+efficient-frontier sweep) by marking their axis as None.
+
+Everything stays fixed-shape, so one compilation serves the whole batch and
+convergence is per-instance via the solver's internal done flags (a finished
+instance keeps its state frozen while `lax.while_loop` drains stragglers).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ssqp_tpu.types import LP, QP, Result, Settings
+from ssqp_tpu.utils.precision import highest_matmul
+
+
+def qp_axes(Q: QP, shared=()) -> QP:
+    """Build a `vmap` in_axes pytree for a QP batch.
+
+    ``shared`` names fields replicated across the batch (no leading batch
+    axis), e.g. ``("V", "A", "b")`` for a frontier sweep with varying q.
+    """
+    ax = {f: (None if f in shared else 0) for f in
+          ("V", "A", "G", "q", "b", "g", "d", "u")}
+    return QP(ax["V"], ax["A"], ax["G"], ax["q"], ax["b"], ax["g"],
+              ax["d"], ax["u"], Q.N, Q.M, Q.J, Q.mc)
+
+
+def lp_axes(P: LP, shared=()) -> LP:
+    """`vmap` in_axes pytree for an LP batch (see :func:`qp_axes`)."""
+    ax = {f: (None if f in shared else 0) for f in
+          ("c", "A", "b", "G", "g", "d", "u")}
+    return LP(ax["c"], ax["A"], ax["b"], ax["G"], ax["g"], ax["d"], ax["u"],
+              P.N, P.M, P.J, P.mc)
+
+
+@partial(jax.jit, static_argnames=("settings", "shared"))
+@highest_matmul
+def solve_qp_batch(Q: QP, settings: Settings, shared: tuple = ()) -> Result:
+    """Solve a batch of QPs (Phase-1 + S-loop per instance, all on-device).
+
+    Batched analogue of the reference's one-call-per-problem `solveQP`
+    (SSQP.jl:224); per-instance status codes come back in ``Result.status``.
+    """
+    from ssqp_tpu.solvers.ssqp import solve_qp_auto
+
+    ax = qp_axes(Q, shared)
+    return jax.vmap(lambda p: solve_qp_auto(p, settings), in_axes=(ax,))(Q)
+
+
+@partial(jax.jit, static_argnames=("settings", "shared"))
+@highest_matmul
+def solve_qp_batch_warm(
+    Q: QP, Sx0, Se0, x0, settings: Settings, shared: tuple = ()
+) -> Result:
+    """Warm-started batch solve: per-instance status vectors + feasible points
+    (batched analogue of solveQP(Q, S, x0), SSQP.jl:237) — the reference's
+    frontier-sweep trick, where adjacent instances reuse the previous active
+    set."""
+    from ssqp_tpu.solvers.ssqp import solve_qp_loop
+
+    ax = qp_axes(Q, shared)
+    return jax.vmap(
+        lambda p, s, e, x: solve_qp_loop(p, s, e, x, settings),
+        in_axes=(ax, 0, 0, 0),
+    )(Q, Sx0, Se0, x0)
+
+
+@partial(jax.jit, static_argnames=("settings", "shared", "minimize"))
+@highest_matmul
+def solve_lp_batch(
+    P: LP, settings: Settings, shared: tuple = (), minimize: bool = True
+) -> Result:
+    """Solve a batch of LPs by the two-phase simplex (SimplexLP per instance)."""
+    from ssqp_tpu.solvers.lp import simplex_lp_traced
+
+    ax = lp_axes(P, shared)
+    return jax.vmap(
+        lambda p: simplex_lp_traced(p, settings, minimize), in_axes=(ax,)
+    )(P)
+
+
+def stack_qps(qps) -> QP:
+    """Stack a list of same-shape QPs into one batched QP pytree."""
+    q0 = qps[0]
+    leaves = [jnp.stack([getattr(q, f) for q in qps])
+              for f in ("V", "A", "G", "q", "b", "g", "d", "u")]
+    return QP(*leaves, q0.N, q0.M, q0.J, q0.mc)
+
+
+def frontier_batch(Q: QP, lambdas) -> tuple[QP, tuple]:
+    """Batch the L-parameterized frontier family ``min 1/2 z'Vz - L q'z``
+    (reference QP(P, L), types.jl:303-319) over a vector of L values.
+
+    Returns (batched QP, shared fields) ready for :func:`solve_qp_batch`.
+    """
+    lam = jnp.asarray(lambdas, Q.V.dtype)
+    qb = -lam[:, None] * Q.q[None, :]
+    Qb = QP(Q.V, Q.A, Q.G, qb, Q.b, Q.g, Q.d, Q.u, Q.N, Q.M, Q.J, Q.mc)
+    return Qb, ("V", "A", "G", "b", "g", "d", "u")

@@ -1,0 +1,98 @@
+"""Device-mesh sharding of instance batches via `shard_map` + collectives.
+
+The reference has no distributed backend (SURVEY.md §2: single-threaded Julia);
+multi-chip instance throughput is *new* capability mandated by the north star.
+Design: the batch axis is sharded over a 1-D mesh axis ``"i"`` (data-parallel
+over ICI); problem data that is shared across instances is replicated. Each
+device runs the fixed-shape batched solver on its local shard; convergence
+statistics (#solved, max iterations, max KKT residual proxy) are aggregated
+with `psum`/`pmax` over the mesh, and solutions come back sharded (gather is
+the caller's choice — keep results device-resident when feeding a downstream
+sharded computation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from ssqp_tpu.types import QP, Result, Settings
+from ssqp_tpu.utils.precision import highest_matmul
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "i") -> Mesh:
+    """1-D device mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def _spec_tree(Q: QP, shared: tuple, axis: str) -> QP:
+    sp = {f: (P() if f in shared else P(axis)) for f in
+          ("V", "A", "G", "q", "b", "g", "d", "u")}
+    return QP(sp["V"], sp["A"], sp["G"], sp["q"], sp["b"], sp["g"],
+              sp["d"], sp["u"], Q.N, Q.M, Q.J, Q.mc)
+
+
+@partial(jax.jit, static_argnames=("settings", "shared", "mesh", "axis"))
+@highest_matmul
+def solve_qp_sharded(
+    Q: QP,
+    settings: Settings,
+    mesh: Mesh,
+    shared: tuple = (),
+    axis: str = "i",
+):
+    """Solve a QP batch sharded over a device mesh.
+
+    The leading batch dimension of every non-shared leaf must be divisible by
+    the mesh size. Returns ``(Result, stats)`` where ``Result`` leaves are
+    sharded along the batch axis and ``stats`` is a replicated dict with
+    mesh-wide aggregates: ``solved`` (#status>0, psum), ``iters_max`` (pmax),
+    ``infeasible`` (#status==0, psum).
+    """
+    from ssqp_tpu.solvers.ssqp import solve_qp_auto
+    from ssqp_tpu.parallel.batch import qp_axes
+
+    ax = qp_axes(Q, shared)
+    in_specs = _spec_tree(Q, shared, axis)
+    out_specs = (
+        Result(P(axis), P(axis), P(axis)),
+        dict(solved=P(), iters_max=P(), infeasible=P()),
+    )
+
+    def local(Qs: QP):
+        res = jax.vmap(lambda p: solve_qp_auto(p, settings), in_axes=(ax,))(Qs)
+        solved = jax.lax.psum(jnp.sum(res.status > 0), axis)
+        infeas = jax.lax.psum(jnp.sum(res.status == 0), axis)
+        iters = jax.lax.pmax(jnp.max(jnp.abs(res.status)), axis)
+        return res, dict(solved=solved, iters_max=iters, infeasible=infeas)
+
+    # check_vma=False: while_loop carries are initialized from unvarying
+    # constants inside the shard; the varying-axis propagation check would
+    # demand explicit pcasts with no semantic difference for this map.
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(Q)
+
+
+def shard_batch(Q: QP, mesh: Mesh, shared: tuple = (), axis: str = "i") -> QP:
+    """Place a batched QP on the mesh: batch-sharded leaves, replicated shared
+    leaves. Amortizes host->device transfer before a sharded solve."""
+    parts = {}
+    for f in ("V", "A", "G", "q", "b", "g", "d", "u"):
+        arr = getattr(Q, f)
+        spec = P() if f in shared else P(axis)
+        parts[f] = jax.device_put(arr, NamedSharding(mesh, spec))
+    return QP(parts["V"], parts["A"], parts["G"], parts["q"], parts["b"],
+              parts["g"], parts["d"], parts["u"], Q.N, Q.M, Q.J, Q.mc)

@@ -35,9 +35,11 @@ from ssqp_tpu.ops.masked_gj import masked_gj_purge, masked_independent_cols
 from ssqp_tpu.solvers.phase1 import recover_x_status, standardize_bounded
 from ssqp_tpu.solvers.simplex import bounded_simplex
 from ssqp_tpu.types import DN, IN, LP, OE, Result, Settings, UP
+from ssqp_tpu.utils.precision import highest_matmul
 
 
 @partial(jax.jit, static_argnames=("settings", "minimize"))
+@highest_matmul
 def simplex_lp_traced(P: LP, settings: Settings, minimize: bool = True) -> Result:
     c, A, G, b, g, d, u = P.c, P.A, P.G, P.b, P.g, P.d, P.u
     N, M, J = P.N, P.M, P.J

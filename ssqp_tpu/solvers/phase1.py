@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ssqp_tpu.solvers.simplex import bounded_simplex
 from ssqp_tpu.types import DN, EO, IN, OE, QP, UP, Settings
+from ssqp_tpu.utils.precision import highest_matmul
 
 
 class Standardized(NamedTuple):
@@ -110,6 +111,7 @@ def recover_x_status(x1, S1, std: Standardized, N: int, J: int):
 
 
 @partial(jax.jit, static_argnames=("settings",))
+@highest_matmul
 def init_qp_traced(Q: QP, settings: Settings):
     """Phase-1 for the QP path. Returns (x0, Sx, Se, status) as traced arrays;
     status: 1 feasible, 0 infeasible, -1 numerical error."""

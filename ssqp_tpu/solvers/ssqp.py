@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from ssqp_tpu.ops.kkt import kkt_solve, recover_dropped_multipliers
 from ssqp_tpu.ops.masked_gj import masked_gj_purge
 from ssqp_tpu.types import DN, EO, IN, OE, QP, UP, Result, Settings
+from ssqp_tpu.utils.precision import highest_matmul
 
 _BIG = jnp.inf
 
@@ -75,6 +76,7 @@ def _free_k(z, Sx, V, q, tol):
 
 
 @partial(jax.jit, static_argnames=("settings",))
+@highest_matmul
 def solve_qp_loop(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> Result:
     """Run the S-loop from a warm start (reference solveQP(Q, S, x0),
     SSQP.jl:237-377). ``Sx0``/``Se0`` are int8 status arrays, ``x0`` a feasible
@@ -241,6 +243,7 @@ def solve_qp(
 
 
 @partial(jax.jit, static_argnames=("settings", "settings_lp"))
+@highest_matmul
 def solve_qp_auto(Q: QP, settings: Settings, settings_lp: Optional[Settings] = None) -> Result:
     """Fully-traced Phase-1 + S-loop (reference solveQP(Q::QP), SSQP.jl:224-234).
 

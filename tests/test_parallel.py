@@ -1,0 +1,134 @@
+"""Batched (vmap) and sharded (shard_map over a virtual 8-device CPU mesh)
+instance solving — the new-capability layer the reference has no analogue for
+(SURVEY.md §4: multi-chip behavior tested on forced-host-device fakes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssqp_tpu.parallel.batch import (
+    frontier_batch,
+    solve_lp_batch,
+    solve_qp_batch,
+    solve_qp_batch_warm,
+    stack_qps,
+)
+from ssqp_tpu.parallel.sharded import make_mesh, shard_batch, solve_qp_sharded
+from ssqp_tpu.types import IN, DN, Settings, make_lp, make_qp
+from ssqp_tpu.utils.problems import generate_qp_known_opt, kkt_residual
+
+
+SETTINGS = Settings()
+
+
+def _rand_portfolio(seed, N=8):
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((N, N))
+    V = H @ H.T / N + 0.5 * np.eye(N)
+    q = rng.standard_normal(N) * 0.1
+    return make_qp(V, q, u=np.full(N, 0.6))
+
+
+class TestBatch:
+    def test_stacked_batch_matches_single(self):
+        qps = [_rand_portfolio(s) for s in range(6)]
+        Qb = stack_qps(qps)
+        res = solve_qp_batch(Qb, SETTINGS)
+        assert res.x.shape == (6, 8)
+        from ssqp_tpu.solvers.ssqp import solve_qp
+
+        for i, Q in enumerate(qps):
+            ri = solve_qp(Q, settings=SETTINGS)
+            assert int(res.status[i]) > 0
+            np.testing.assert_allclose(res.x[i], ri.x, atol=1e-8)
+
+    def test_known_optimum_batch(self):
+        gens = [generate_qp_known_opt(seed=s, N=10, M=2, J=3) for s in range(4)]
+        Qb = stack_qps([
+            make_qp(g.V, g.q, g.A, g.b, G=g.G, g=g.g, d=g.d, u=g.u)
+            for g in gens
+        ])
+        res = solve_qp_batch(Qb, SETTINGS)
+        for i, g in enumerate(gens):
+            assert int(res.status[i]) > 0
+            np.testing.assert_allclose(res.x[i], g.x_opt, atol=1e-6)
+
+    def test_frontier_shared_V(self):
+        N = 8
+        rng = np.random.default_rng(0)
+        H = rng.standard_normal((N, N))
+        V = H @ H.T / N + 0.5 * np.eye(N)
+        mu = rng.uniform(0.0, 0.2, N)
+        Q = make_qp(V, mu)  # q field holds expected returns for the frontier
+        lams = jnp.linspace(0.0, 2.0, 16)
+        Qb, shared = frontier_batch(Q, lams)
+        res = solve_qp_batch(Qb, SETTINGS, shared=shared)
+        assert res.x.shape == (16, N)
+        assert np.all(np.asarray(res.status) > 0)
+        # budget constraint holds for every frontier point
+        np.testing.assert_allclose(np.asarray(res.x).sum(axis=1), 1.0, atol=1e-8)
+        # risk is monotonically non-decreasing in L along the frontier
+        risks = np.einsum("bi,ij,bj->b", np.asarray(res.x), V, np.asarray(res.x))
+        assert np.all(np.diff(risks) > -1e-9)
+
+    def test_warm_start_batch(self):
+        N = 8
+        gens = [generate_qp_known_opt(seed=s, N=N, M=1, J=2) for s in range(3)]
+        Qb = stack_qps([
+            make_qp(g.V, g.q, g.A, g.b, G=g.G, g=g.g, d=g.d, u=g.u)
+            for g in gens
+        ])
+        # warm start from the known optimum statuses: should converge in ~1 iter
+        Sx0 = jnp.stack([jnp.asarray(g.Sx_opt) for g in gens])
+        Se0 = jnp.stack([jnp.asarray(g.Se_opt) for g in gens])
+        x0 = jnp.stack([jnp.asarray(g.x_opt) for g in gens])
+        res = solve_qp_batch_warm(Qb, Sx0, Se0, x0, SETTINGS)
+        for i, g in enumerate(gens):
+            assert 0 < int(res.status[i]) <= 3
+            np.testing.assert_allclose(res.x[i], g.x_opt, atol=1e-7)
+
+    def test_lp_batch(self):
+        # min -x1-2x2 s.t. x1+x2<=4, x1<=3, x2<=3 ; optimum (1,3) f=-7... check:
+        # vertices: (3,1) f=-5; (1,3) f=-7; (3,3) infeasible (sum 6>4)
+        c = np.array([-1.0, -2.0])
+        G = np.array([[1.0, 1.0]])
+        g = np.array([4.0])
+        P1 = make_lp(c, G=G, g=g, u=[3.0, 3.0])
+        P2 = make_lp(2 * c, G=G, g=g, u=[3.0, 3.0])
+        from ssqp_tpu.parallel.batch import lp_axes
+        import jax
+
+        Pb = jax.tree.map(lambda a, b: jnp.stack([a, b]), P1, P2)
+        res = solve_lp_batch(Pb, SETTINGS)
+        assert np.all(np.asarray(res.status) >= 1)
+        np.testing.assert_allclose(res.x[0], [1.0, 3.0], atol=1e-8)
+        np.testing.assert_allclose(res.x[1], [1.0, 3.0], atol=1e-8)
+
+
+class TestSharded:
+    def test_mesh_solve_matches_vmap(self):
+        assert jax.device_count() >= 8, "conftest must force 8 host devices"
+        mesh = make_mesh(8)
+        qps = [_rand_portfolio(s) for s in range(16)]
+        Qb = stack_qps(qps)
+        ref = solve_qp_batch(Qb, SETTINGS)
+        Qs = shard_batch(Qb, mesh)
+        res, stats = solve_qp_sharded(Qs, SETTINGS, mesh)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-10)
+        assert int(stats["solved"]) == 16
+        assert int(stats["infeasible"]) == 0
+
+    def test_shared_leaves_replicated(self):
+        mesh = make_mesh(8)
+        N = 8
+        rng = np.random.default_rng(1)
+        H = rng.standard_normal((N, N))
+        V = H @ H.T / N + 0.5 * np.eye(N)
+        mu = rng.uniform(0.0, 0.2, N)
+        Q = make_qp(V, mu)
+        Qb, shared = frontier_batch(Q, jnp.linspace(0.0, 2.0, 32))
+        Qs = shard_batch(Qb, mesh, shared=shared)
+        res, stats = solve_qp_sharded(Qs, SETTINGS, mesh, shared=shared)
+        assert int(stats["solved"]) == 32
+        np.testing.assert_allclose(np.asarray(res.x).sum(axis=1), 1.0, atol=1e-8)
