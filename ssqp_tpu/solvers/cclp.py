@@ -1,0 +1,185 @@
+"""Least-index criss-cross LP solver, fixed-shape under `jit`/`vmap`.
+
+TPU-native re-design of the reference's exported `solveLP` (reference:
+src/CCLP.jl). The criss-cross method needs no Phase-1: it starts from a
+(possibly infeasible) basis chosen by projected reduced cost and pivots on the
+smallest violated index — dual violation (reduced cost < -tol on a nonbasic
+column) or primal violation (negative basic value) — until none remain
+(CCLP.jl:88-174). Bases are re-factorized each iteration (LU), matching the
+reference's accuracy-first choice of `inv(lu(A[:,B]))` per pivot.
+
+Fixed-shape translation:
+  * the basis is a boolean column mask; `jnp.nonzero(..., size=R)` yields the
+    sorted basis exactly like the reference's `findall(.!F)`, so "smallest
+    index" tie-breaking matches;
+  * standard form comes from utils/standard_form.py, whose dummy/anchor
+    columns have zero cost and zero entries — they never trigger a violation
+    and never pivot;
+  * infinitely-many detection restricts, like the reference (CCLP.jl:371-381),
+    to the original + G-slack columns.
+
+Status codes (CCLP.jl:59-61): 1 unique, 2 infinitely many, 0 infeasible,
+3 unbounded or dual infeasible, -1 numerical error, -max_iter not done.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import lu_factor, lu_solve
+
+from ssqp_tpu.ops.masked_gj import masked_independent_cols
+from ssqp_tpu.types import DN, IN, LP, OE, Result, Settings
+from ssqp_tpu.utils.precision import highest_matmul
+from ssqp_tpu.utils.standard_form import recover_solution, standard_form
+
+_INF = jnp.inf
+
+
+class _CCState(NamedTuple):
+    in_basis: jax.Array  # (Nt,) bool
+    S: jax.Array  # (Nt,) int8
+    xB: jax.Array  # (R,) last basic values
+    it: jax.Array
+    done: jax.Array
+    status: jax.Array
+
+
+def _init_basis(c1, A1, tol):
+    """Starting basis by projected reduced cost (reference initSx, CCLP.jl:8-39):
+    sort columns by p = c - A'(A' \\ c) ascending, keep the first maximal
+    independent subset. Least-squares via ridge-regularized normal equations."""
+    R = A1.shape[0]
+    dtype = A1.dtype
+    Mn = A1 @ A1.T + jnp.asarray(1e-10, dtype) * jnp.eye(R, dtype=dtype)
+    w = jnp.linalg.solve(Mn, A1 @ c1)
+    p = c1 - A1.T @ w
+    keep = masked_independent_cols(A1, jnp.ones(A1.shape[1], bool), p, tol)
+    return keep
+
+
+def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
+    """Run the least-index criss-cross loop on ``min c1'x, A1 x = b1, x >= 0``.
+
+    Returns (status, x_full, S). ``ms_mask`` restricts the infinitely-many
+    check to meaningful columns.
+    """
+    Nt = c1.shape[0]
+    R = b1.shape[0]
+    dtype = c1.dtype
+    tol = jnp.asarray(tol, dtype)
+    arange = jnp.arange(Nt)
+
+    def body(st: _CCState) -> _CCState:
+        in_basis, S, it = st.in_basis, st.S, st.it + 1
+        B = jnp.nonzero(in_basis, size=R, fill_value=0)[0].astype(jnp.int32)
+        A_B = A1[:, B]
+        lufac = lu_factor(A_B)
+        xB = lu_solve(lufac, b1)
+        w = lu_solve(lufac, c1[B], trans=1)
+        h = c1 - A1.T @ w
+        numbad = ~(jnp.all(jnp.isfinite(xB)) & jnp.all(jnp.isfinite(h)))
+
+        dv = ~in_basis & (h < -tol)
+        idxK = jnp.min(jnp.where(dv, arange, Nt))
+        pv = xB < -tol
+        Bv = jnp.where(pv, B, Nt)
+        lpos = jnp.argmin(Bv)  # position of the smallest violated basic index
+        idxL = Bv[lpos]
+
+        no_viol = (idxK >= Nt) & (idxL >= Nt)
+        ms = jnp.any((jnp.abs(h) < tol) & ~in_basis & ms_mask)
+        status_opt = jnp.where(ms, 2, 1).astype(jnp.int32)
+
+        entering = idxK < idxL
+
+        # ---- entering pivot: column k enters, first blocking row leaves ----
+        k_in = jnp.where(idxK < Nt, idxK, 0).astype(jnp.int32)
+        y = lu_solve(lufac, A1[:, k_in])
+        rows = y > tol
+        unb = entering & ~jnp.any(rows)  # status 3 (CCLP.jl:159-161)
+        l_in = B[jnp.argmax(rows)]  # first row with y > tol (B sorted)
+
+        # ---- leaving pivot: row lpos leaves, first eligible column enters --
+        erow = (jnp.arange(R) == lpos).astype(dtype)
+        v = lu_solve(lufac, erow, trans=1)
+        yrow = A1.T @ v
+        cand = ~in_basis & (yrow < -tol)
+        infeas = ~entering & ~jnp.any(cand)  # status 0 (CCLP.jl:146-148)
+        k_out = jnp.min(jnp.where(cand, arange, Nt - 1)).astype(jnp.int32)
+        l_out = B[lpos]
+
+        k = jnp.where(entering, k_in, k_out)
+        l = jnp.where(entering, l_in, l_out)
+
+        stop = numbad | no_viol | unb | infeas
+        do_pivot = ~stop
+
+        in_b1 = in_basis.at[l].set(jnp.where(do_pivot, False, in_basis[l]))
+        in_b1 = in_b1.at[k].set(jnp.where(do_pivot, True, in_b1[k]))
+        S1 = S.at[k].set(jnp.where(do_pivot, IN, S[k]).astype(S.dtype))
+        S1 = S1.at[l].set(jnp.where(do_pivot, DN, S1[l]).astype(S.dtype))
+
+        status = jnp.where(
+            numbad, -1,
+            jnp.where(no_viol, status_opt,
+                      jnp.where(unb, 3, jnp.where(infeas, 0, 0))),
+        ).astype(jnp.int32)
+        return _CCState(in_b1, S1, xB, it, stop, status)
+
+    st0 = _CCState(
+        in_basis0, S0.astype(jnp.int8),
+        jnp.zeros((R,), dtype), jnp.asarray(0, jnp.int32),
+        jnp.asarray(False), jnp.asarray(0, jnp.int32),
+    )
+    st = jax.lax.while_loop(
+        lambda s: (~s.done) & (s.it < max_iter), body, st0
+    )
+    status = jnp.where(st.done, st.status, -max_iter).astype(jnp.int32)
+    B = jnp.nonzero(st.in_basis, size=R, fill_value=0)[0]
+    x_full = jnp.zeros((Nt,), dtype).at[B].set(st.xB)
+    return status, x_full, st.S
+
+
+@partial(jax.jit, static_argnames=("settings",))
+@highest_matmul
+def solve_lp_traced(P: LP, settings: Settings) -> Result:
+    """Criss-cross solve of a general LP (reference solveLP(Q::LP),
+    CCLP.jl:289-390): standardize, solve, recover x/S, map slack statuses."""
+    N, M, J = P.N, P.M, P.J
+    sf = standard_form(P.c, P.A, P.b, P.G, P.g, P.d, P.u)
+    Nt = sf.c1.shape[0]
+    in_basis0 = _init_basis(sf.c1, sf.A1, settings.tol)
+    S0 = jnp.where(in_basis0, IN, DN).astype(jnp.int8)
+    ms_mask = jnp.arange(Nt) < (N + J)
+    status, x_full, S1 = cclp_core(
+        sf.c1, sf.A1, sf.b1, in_basis0, S0,
+        tol=settings.tol, max_iter=settings.max_iter, ms_mask=ms_mask,
+    )
+    xo, So, Se = recover_solution(x_full, S1, sf, N, J)
+    status = jnp.where(sf.inconsistent, 0, status)
+    # infeasible/unbounded exits return the zero-point convention
+    bad = status <= 0
+    xo = jnp.where(bad, jnp.zeros_like(xo), xo)
+    S = jnp.concatenate([So, Se]) if J > 0 else So
+    return Result(xo, S, status)
+
+
+def solve_lp(P: LP, *, settings: Optional[Settings] = None) -> Result:
+    """Solve an LP by the least-index criss-cross method (the reference's
+    exported `solveLP`, StatusSwitchingQP.jl:32-34). Box-only problems take
+    the closed-form path (CCLP.jl:299-302)."""
+    settings = settings or Settings.for_dtype(P.c.dtype)
+    if P.mc <= 0:
+        S = jnp.concatenate(
+            [jnp.full((P.N,), DN, jnp.int8), jnp.full((P.J,), OE, jnp.int8)]
+        ) if P.J > 0 else jnp.full((P.N,), DN, jnp.int8)
+        return Result(jnp.zeros((P.N,), P.c.dtype), S, jnp.asarray(-1, jnp.int32))
+    if P.M + P.J == 0:
+        from ssqp_tpu.solvers.boxlp import box_lp
+
+        return box_lp(P, settings=settings)
+    return solve_lp_traced(P, settings)

@@ -1,0 +1,131 @@
+"""Criss-cross LP engine (solveLP parity, reference CCLP.jl) — agreement with
+the two-phase simplex on random LPs, plus the reference's edge cases."""
+
+import numpy as np
+import pytest
+
+from ssqp_tpu.solvers.cclp import solve_lp
+from ssqp_tpu.solvers.lp import simplex_lp
+from ssqp_tpu.types import DN, EO, IN, OE, UP, Settings, make_lp
+
+SETTINGS = Settings()
+
+
+def _rand_lp(seed, N=8, M=2, J=3, free=0, oneside=0, boxed=3):
+    """Random LP with a guaranteed feasible point and mixed bound types."""
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((M, N)) if M else np.zeros((0, N))
+    G = rng.standard_normal((J, N)) if J else np.zeros((0, N))
+    x0 = rng.standard_normal(N)
+    b = A @ x0
+    g = G @ x0 + rng.uniform(0.1, 1.0, J)
+    d = x0 - rng.uniform(0.5, 2.0, N)
+    u = x0 + rng.uniform(0.5, 2.0, N)
+    kinds = np.array([0] * free + [1] * oneside + [2] * boxed
+                     + [3] * (N - free - oneside - boxed))
+    rng.shuffle(kinds)
+    d = np.where(kinds <= 1, -np.inf, d)
+    u = np.where((kinds == 0) | (kinds == 3), np.inf, u)
+    c = rng.standard_normal(N)
+    return make_lp(c, A, b, G=G, g=g, d=d, u=u), x0
+
+
+class TestCrissCross:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_agrees_with_simplex_boxed(self, seed):
+        P, _ = _rand_lp(seed, free=0, oneside=0, boxed=8)
+        r1 = solve_lp(P, settings=SETTINGS)
+        r2 = simplex_lp(P, settings=SETTINGS)
+        assert int(r1.status) >= 1, f"cclp status {r1.status}"
+        assert int(r2.status) >= 1
+        f1 = float(np.asarray(P.c) @ np.asarray(r1.x))
+        f2 = float(np.asarray(P.c) @ np.asarray(r2.x))
+        assert abs(f1 - f2) < 1e-7, (f1, f2)
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_agrees_with_simplex_mixed_bounds(self, seed):
+        P, _ = _rand_lp(seed + 100, free=2, oneside=2, boxed=2)
+        r1 = solve_lp(P, settings=SETTINGS)
+        r2 = simplex_lp(P, settings=SETTINGS)
+        if int(r2.status) == 3:  # unbounded below with free vars possible
+            assert int(r1.status) in (3, 0) or int(r1.status) < 0
+            return
+        assert int(r1.status) >= 1
+        f1 = float(np.asarray(P.c) @ np.asarray(r1.x))
+        f2 = float(np.asarray(P.c) @ np.asarray(r2.x))
+        assert abs(f1 - f2) < 1e-7, (f1, f2)
+        # feasibility of the criss-cross point
+        x = np.asarray(r1.x)
+        assert np.abs(np.asarray(P.A) @ x - np.asarray(P.b)).max() < 1e-8
+        assert (np.asarray(P.G) @ x - np.asarray(P.g)).max() < 1e-8
+
+    def test_simple_vertex(self):
+        # min -x1-2x2 s.t. x1+x2<=4, 0<=x<=3 -> (1,3), f=-7
+        P = make_lp([-1.0, -2.0], G=[[1.0, 1.0]], g=[4.0], u=[3.0, 3.0])
+        r = solve_lp(P, settings=SETTINGS)
+        assert int(r.status) == 1
+        np.testing.assert_allclose(np.asarray(r.x), [1.0, 3.0], atol=1e-9)
+        S = np.asarray(r.S)
+        assert S[1] == UP and S[2] == EO  # x2 at upper bound, row active
+
+    def test_unbounded(self):
+        # min -x1, x1 free above, only x2 bounded
+        P = make_lp([-1.0, 0.0], A=[[0.0, 1.0]], b=[1.0], d=[0.0, 0.0])
+        r = solve_lp(P, settings=SETTINGS)
+        assert int(r.status) == 3
+
+    def test_infeasible(self):
+        # x1 + x2 = 10 with 0 <= x <= 1
+        P = make_lp([1.0, 1.0], A=[[1.0, 1.0]], b=[10.0], u=[1.0, 1.0])
+        r = solve_lp(P, settings=SETTINGS)
+        assert int(r.status) == 0
+
+    def test_redundant_rows_purged(self):
+        # duplicated equality row must not break the solve
+        A = [[1.0, 1.0, 1.0], [2.0, 2.0, 2.0]]
+        b = [1.0, 2.0]
+        P = make_lp([1.0, 2.0, 3.0], A=A, b=b)
+        r = solve_lp(P, settings=SETTINGS)
+        assert int(r.status) >= 1
+        np.testing.assert_allclose(np.asarray(r.x), [1.0, 0.0, 0.0], atol=1e-9)
+
+    def test_inconsistent_rows_infeasible(self):
+        A = [[1.0, 1.0], [1.0, 1.0]]
+        b = [1.0, 2.0]
+        P = make_lp([1.0, 1.0], A=A, b=b)
+        r = solve_lp(P, settings=SETTINGS)
+        assert int(r.status) == 0
+
+    def test_box_shortcut(self):
+        P = make_lp([1.0, -1.0], d=[0.0, 0.0], u=[2.0, 2.0])
+        r = solve_lp(P, settings=SETTINGS)
+        assert int(r.status) == 1
+        np.testing.assert_allclose(np.asarray(r.x), [0.0, 2.0], atol=1e-12)
+
+    def test_free_variable_equality(self):
+        # min x1 + x2 + x3, x1 + x2 + x3 = 2, x1/x2 free, x3 in [0, 1]:
+        # every feasible point has f = 2 -> infinitely many optima
+        P = make_lp([1.0, 1.0, 1.0], A=[[1.0, 1.0, 1.0]], b=[2.0],
+                    d=[-np.inf, -np.inf, 0.0], u=[np.inf, np.inf, 1.0])
+        r = solve_lp(P, settings=SETTINGS)
+        assert int(r.status) in (1, 2)
+        x = np.asarray(r.x)
+        assert abs(x.sum() - 2.0) < 1e-9
+        assert abs(float(np.asarray(P.c) @ x) - 2.0) < 1e-9
+
+    def test_no_constraints_mc(self):
+        # all-free, no rows at all -> mc=-20 -> status -1 (types.jl:132-135)
+        P = make_lp([1.0, 1.0], A=[[1.0, 1.0]], b=[2.0],
+                    d=[-np.inf, -np.inf], u=[np.inf, np.inf])
+        assert P.mc == -20
+        r = solve_lp(P, settings=SETTINGS)
+        assert int(r.status) == -1
+
+    def test_upper_bound_status(self):
+        # min -x, 0<=x<=1 with a dummy equality on y
+        P = make_lp([-1.0, 0.0], A=[[0.0, 1.0]], b=[0.5],
+                    d=[0.0, 0.0], u=[1.0, 2.0])
+        r = solve_lp(P, settings=SETTINGS)
+        assert int(r.status) >= 1
+        np.testing.assert_allclose(np.asarray(r.x), [1.0, 0.5], atol=1e-9)
+        assert np.asarray(r.S)[0] == UP
