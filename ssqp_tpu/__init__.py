@@ -27,6 +27,8 @@ from ssqp_tpu.types import (
     make_lp,
     make_qp,
     qp_from_lp,
+    qp_frontier_L,
+    qp_frontier_mu,
 )
 
 __all__ = [
@@ -35,7 +37,8 @@ __all__ = [
     "make_lp", "make_qp", "qp_from_lp", "lp_from_qp",
     "MC_OK", "MC_INFEASIBLE", "MC_REDUNDANT", "MC_NO_CONSTRAINTS",
     "MC_DEGENERATE_BOUNDS", "MC_NOT_PSD",
-    "solve_qp", "simplex_lp", "solve_lp", "box_lp",
+    "solve_qp", "simplex_lp", "solve_lp", "box_lp", "solve_qp_refined",
+    "qp_frontier_L", "qp_frontier_mu", "Model",
 ]
 
 __version__ = "0.1.0"
@@ -54,4 +57,10 @@ def __getattr__(name):  # lazy imports to keep package import light
     if name == "box_lp":
         from ssqp_tpu.solvers.boxlp import box_lp
         return box_lp
+    if name == "solve_qp_refined":
+        from ssqp_tpu.solvers.refine import solve_qp_refined
+        return solve_qp_refined
+    if name == "Model":
+        from ssqp_tpu.model import Model
+        return Model
     raise AttributeError(f"module 'ssqp_tpu' has no attribute {name!r}")

@@ -1,0 +1,299 @@
+"""Modeling-language API — the reference's MOI-wrapper equivalent (L4).
+
+The reference exposes a MathOptInterface `Optimizer` so JuMP models can use
+the solver (reference: src/MOIwrapper.jl). The TPU-native equivalent is a
+small host-side model builder with the same capability surface:
+
+  * scalar affine constraints in EqualTo / LessThan / GreaterThan / Interval
+    form (MOIwrapper.jl:97-109; Interval rows arrive via MOI bridges there
+    and are expanded to two rows here);
+  * variable bounds (LessThan/GreaterThan/Interval on variables);
+  * quadratic + affine objective with duplicate-term accumulation and
+    symmetrization (MOIwrapper.jl:422-439), constant offset, MIN/MAX sense
+    (negated internally, MOIwrapper.jl:448-451);
+  * automatic downgrade to LP when the quadratic part is zero
+    (MOIwrapper.jl:120-128);
+  * the mc==-20 analytic presolve for models with no inequalities/bounds
+    (direct A\\b or V\\q solve with definiteness check, MOIwrapper.jl:131-160);
+  * empty rows are skipped with a warning (MOIwrapper.jl:279-283);
+  * termination-status mapping (MOIwrapper.jl:213-228) — with one deliberate
+    fix: a QP status is its iteration count, so any status > 0 maps to
+    OPTIMAL here (the reference maps e.g. 5 iterations to ITERATION_LIMIT).
+"""
+
+from __future__ import annotations
+
+import time
+import warnings
+from typing import Dict, Optional, Tuple, Union
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ssqp_tpu.types import (
+    DN,
+    LP,
+    QP,
+    Result,
+    Settings,
+    make_lp,
+    make_qp,
+)
+
+# Termination statuses (MOI vocabulary, MOIwrapper.jl:213-228)
+OPTIMAL = "OPTIMAL"
+INFEASIBLE = "INFEASIBLE"
+INFEASIBLE_OR_UNBOUNDED = "INFEASIBLE_OR_UNBOUNDED"
+NUMERICAL_ERROR = "NUMERICAL_ERROR"
+ITERATION_LIMIT = "ITERATION_LIMIT"
+OPTIMIZE_NOT_CALLED = "OPTIMIZE_NOT_CALLED"
+
+# Primal statuses
+FEASIBLE_POINT = "FEASIBLE_POINT"
+INFEASIBLE_POINT = "INFEASIBLE_POINT"
+NO_SOLUTION = "NO_SOLUTION"
+
+
+class Model:
+    """Build-and-solve model object (reference Optimizer, MOIwrapper.jl:8-35).
+
+    >>> m = Model()
+    >>> x = m.add_variables(3, lb=0.0)
+    >>> m.add_eq({0: 1.0, 1: 1.0, 2: 1.0}, 1.0)
+    >>> m.set_objective(quad={(0, 0): 2.0, (1, 1): 2.0, (2, 2): 2.0})
+    >>> m.optimize()
+    'OPTIMAL'
+    """
+
+    def __init__(self, *, settings: Optional[Settings] = None, dtype=None,
+                 silent: bool = True):
+        self.dtype = np.dtype(np.asarray(jnp.zeros(0)).dtype if dtype is None
+                              else dtype)
+        self.settings = settings
+        self.silent = silent
+        self.n = 0
+        self._lb: list = []
+        self._ub: list = []
+        self._rows: list = []  # (kind, coeffs dict, rhs lo, rhs hi)
+        self._quad: Dict[Tuple[int, int], float] = {}
+        self._lin: Dict[int, float] = {}
+        self._f0 = 0.0
+        self._sense = "min"
+        self._result: Optional[Result] = None
+        self._problem = None
+        self.solve_time = 0.0
+
+    # ---- variables --------------------------------------------------------
+    def add_variable(self, lb=-np.inf, ub=np.inf) -> int:
+        self._lb.append(float(lb))
+        self._ub.append(float(ub))
+        self.n += 1
+        return self.n - 1
+
+    def add_variables(self, k: int, lb=-np.inf, ub=np.inf) -> list:
+        return [self.add_variable(lb, ub) for _ in range(k)]
+
+    def set_bounds(self, i: int, lb=None, ub=None) -> None:
+        if lb is not None:
+            self._lb[i] = float(lb)
+        if ub is not None:
+            self._ub[i] = float(ub)
+
+    # ---- constraints ------------------------------------------------------
+    def _coeffs(self, coeffs) -> Dict[int, float]:
+        if isinstance(coeffs, dict):
+            return {int(i): float(v) for i, v in coeffs.items()}
+        arr = np.asarray(coeffs, float).reshape(-1)
+        return {i: float(v) for i, v in enumerate(arr) if v != 0.0}
+
+    def _add_row(self, kind, coeffs, lo, hi):
+        c = self._coeffs(coeffs)
+        if not c:
+            # constant row: satisfied or trivially infeasible is not modeled
+            warnings.warn("empty constraint row skipped "
+                          "(reference MOIwrapper.jl:279-283)")
+            return
+        self._rows.append((kind, c, lo, hi))
+
+    def add_eq(self, coeffs, rhs: float) -> None:
+        self._add_row("eq", coeffs, float(rhs), float(rhs))
+
+    def add_le(self, coeffs, rhs: float) -> None:
+        self._add_row("le", coeffs, -np.inf, float(rhs))
+
+    def add_ge(self, coeffs, rhs: float) -> None:
+        self._add_row("ge", coeffs, float(rhs), np.inf)
+
+    def add_interval(self, coeffs, lo: float, hi: float) -> None:
+        """lo <= a'x <= hi, expanded to two <= rows (bridge equivalent)."""
+        self._add_row("interval", coeffs, float(lo), float(hi))
+
+    # ---- objective --------------------------------------------------------
+    def set_objective(self, *, quad=None, lin=None, constant: float = 0.0,
+                      sense: str = "min") -> None:
+        """Set ``sense( 1/2 x'Vx + q'x + constant )``.
+
+        ``quad`` maps (i, j) -> coefficient of ``x_i x_j`` in ``x'Vx`` form
+        (i.e. V entries; duplicates accumulate, MOIwrapper.jl:431-436), or is
+        a dense (n, n) matrix. ``lin`` maps i -> q_i or is a dense vector.
+        """
+        if sense not in ("min", "max"):
+            raise ValueError("sense must be 'min' or 'max'")
+        self._sense = sense
+        self._quad = {}
+        if quad is not None:
+            if isinstance(quad, dict):
+                for (i, j), v in quad.items():
+                    k = (int(i), int(j))
+                    self._quad[k] = self._quad.get(k, 0.0) + float(v)
+            else:
+                arr = np.asarray(quad, float)
+                for i in range(arr.shape[0]):
+                    for j in range(arr.shape[1]):
+                        if arr[i, j] != 0.0:
+                            self._quad[(i, j)] = float(arr[i, j])
+        self._lin = {}
+        if lin is not None:
+            if isinstance(lin, dict):
+                for i, v in lin.items():
+                    self._lin[int(i)] = self._lin.get(int(i), 0.0) + float(v)
+            else:
+                arr = np.asarray(lin, float).reshape(-1)
+                self._lin = {i: float(v) for i, v in enumerate(arr) if v != 0.0}
+        self._f0 = float(constant)
+
+    # ---- assembly ---------------------------------------------------------
+    def _assemble(self):
+        N = self.n
+        V = np.zeros((N, N))
+        for (i, j), v in self._quad.items():
+            V[i, j] += v / 2.0
+            V[j, i] += v / 2.0  # symmetrize (MOIwrapper.jl:437-439)
+        q = np.zeros(N)
+        for i, v in self._lin.items():
+            q[i] = v
+        if self._sense == "max":
+            V, q = -V, -q  # minimize the negation (MOIwrapper.jl:448-451)
+
+        A_rows, b_vals, G_rows, g_vals = [], [], [], []
+        for kind, c, lo, hi in self._rows:
+            row = np.zeros(N)
+            for i, v in c.items():
+                row[i] = v
+            if kind == "eq":
+                A_rows.append(row)
+                b_vals.append(lo)
+            elif kind == "le":
+                G_rows.append(row)
+                g_vals.append(hi)
+            elif kind == "ge":
+                G_rows.append(-row)
+                g_vals.append(-lo)
+            else:  # interval -> two rows
+                G_rows.append(row)
+                g_vals.append(hi)
+                G_rows.append(-row)
+                g_vals.append(-lo)
+        A = np.asarray(A_rows) if A_rows else np.zeros((0, N))
+        b = np.asarray(b_vals)
+        G = np.asarray(G_rows) if G_rows else np.zeros((0, N))
+        g = np.asarray(g_vals)
+        d = np.asarray(self._lb)
+        u = np.asarray(self._ub)
+
+        is_lp = not self._quad or np.abs(V).max() == 0.0
+        if is_lp:
+            return make_lp(q, A, b, G=G, g=g, d=d, u=u, dtype=self.dtype)
+        return make_qp(V, q, A, b, G=G, g=g, d=d, u=u, dtype=self.dtype)
+
+    # ---- optimize ---------------------------------------------------------
+    def optimize(self) -> str:
+        from ssqp_tpu.solvers.lp import simplex_lp
+        from ssqp_tpu.solvers.ssqp import solve_qp
+
+        P = self._assemble()
+        self._problem = P
+        self._analytic = False
+        settings = self.settings or Settings.for_dtype(P.d.dtype)
+
+        if P.mc == -20:
+            # analytic presolve for no-inequality/no-bound models
+            # (reference MOIwrapper.jl:131-160)
+            self._analytic = True
+            N = P.N
+            A = np.asarray(P.A)
+            if P.M > 0:
+                x, *_ = np.linalg.lstsq(A, np.asarray(P.b), rcond=None)
+                st = 1
+            elif isinstance(P, QP):
+                V = np.asarray(P.V)
+                x = np.linalg.lstsq(V, -np.asarray(P.q), rcond=None)[0]
+                st = 1 if np.linalg.det(V) > 0 else 3
+            else:
+                x = np.zeros(N)
+                st = 1 if np.abs(np.asarray(P.c)).max(initial=0.0) == 0 else 3
+            self._result = Result(
+                jnp.asarray(x), jnp.full((N,), DN, jnp.int8),
+                jnp.asarray(st, jnp.int32),
+            )
+            self.solve_time = 0.0
+            return self.termination_status()
+
+        t0 = time.perf_counter()
+        if isinstance(P, QP):
+            self._result = solve_qp(P, settings=settings)
+        else:
+            self._result = simplex_lp(P, settings=settings)
+        self._result = Result(
+            np.asarray(self._result.x), np.asarray(self._result.S),
+            int(self._result.status),
+        )
+        self.solve_time = time.perf_counter() - t0
+        return self.termination_status()
+
+    # ---- results ----------------------------------------------------------
+    def termination_status(self) -> str:
+        if self._result is None:
+            return OPTIMIZE_NOT_CALLED
+        st = int(self._result.status)
+        if st == 3 and (isinstance(self._problem, LP)
+                        or getattr(self, "_analytic", False)):
+            return INFEASIBLE_OR_UNBOUNDED
+        if st > 0:
+            return OPTIMAL
+        if st == 0:
+            return INFEASIBLE
+        if st == -1:
+            return NUMERICAL_ERROR
+        return ITERATION_LIMIT
+
+    def primal_status(self) -> str:
+        if self._result is None:
+            return NO_SOLUTION
+        return INFEASIBLE_POINT if int(self._result.status) == 0 else FEASIBLE_POINT
+
+    def objective_value(self) -> float:
+        """Recomputed from the stored x (MOIwrapper.jl:231-240)."""
+        x = np.asarray(self._result.x, float)
+        P = self._problem
+        if isinstance(P, QP):
+            f = 0.5 * x @ np.asarray(P.V) @ x + np.asarray(P.q) @ x
+        else:
+            f = np.asarray(P.c) @ x
+        return float((f if self._sense == "min" else -f) + self._f0)
+
+    def values(self) -> np.ndarray:
+        return np.asarray(self._result.x, float)
+
+    def value(self, i: int) -> float:
+        return float(self._result.x[i])
+
+    def statuses(self) -> np.ndarray:
+        return np.asarray(self._result.S)
+
+    def iterations(self) -> int:
+        return max(0, int(self._result.status))
+
+    def raw_status(self) -> str:
+        return str(int(self._result.status)) if self._result is not None else "?"

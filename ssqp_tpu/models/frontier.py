@@ -1,0 +1,128 @@
+"""Efficient-frontier portfolio model family — the reference's headline
+workload (reference: examples/SSQPspeed.jl protocol; QP frontier constructors
+types.jl:303-339).
+
+Given a covariance V, expected returns r and portfolio constraints, the
+frontier is traced either
+
+  * L-parameterized: ``min 1/2 z'Vz - L r'z`` for a grid of risk-tolerance
+    values L (types.jl:303-319), or
+  * mu-parameterized: ``min 1/2 z'Vz  s.t. r'z = mu`` for a grid of target
+    returns (types.jl:321-339).
+
+Two TPU execution strategies:
+
+  * :func:`frontier_batch_sweep` — all grid points solved concurrently via
+    `vmap` (one cold Phase-1 each). Maximum parallelism; best on large grids.
+  * :func:`frontier_warm_sweep` — `lax.scan` along the grid carrying the
+    previous optimum's (S, x) as a warm start (the reference's killer trick
+    for speed, SURVEY.md §7 "hard parts"): adjacent frontier points share
+    most of their active set, so each solve takes a handful of iterations.
+    Sequential in L but each step is nearly free; best for long fine grids.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ssqp_tpu.solvers.phase1 import init_qp_traced
+from ssqp_tpu.solvers.ssqp import solve_qp_loop
+from ssqp_tpu.types import QP, Result, Settings
+from ssqp_tpu.utils.precision import highest_matmul
+
+
+class FrontierResult(NamedTuple):
+    x: jax.Array  # (B, N) weights per grid point
+    S: jax.Array  # (B, N+J) statuses
+    status: jax.Array  # (B,) solver status codes
+    ret: jax.Array  # (B,) expected return r'x
+    risk: jax.Array  # (B,) sqrt(x'Vx)
+
+
+def _with_q(Q: QP, q) -> QP:
+    return QP(Q.V, Q.A, Q.G, q, Q.b, Q.g, Q.d, Q.u, Q.N, Q.M, Q.J, Q.mc)
+
+
+def _stats(Q: QP, rets, x):
+    ret = x @ rets
+    risk = jnp.sqrt(jnp.maximum(jnp.einsum("...i,ij,...j->...", x, Q.V, x), 0.0))
+    return ret, risk
+
+
+@partial(jax.jit, static_argnames=("settings",))
+@highest_matmul
+def frontier_batch_sweep(Q: QP, rets, lams, settings: Settings) -> FrontierResult:
+    """Solve every L-grid point concurrently (vmap, cold starts).
+
+    ``Q`` is the constraint template (its q field is ignored); ``rets`` the
+    expected-return vector; ``lams`` the (B,) risk-tolerance grid.
+    """
+    from ssqp_tpu.solvers.ssqp import solve_qp_auto
+
+    qb = -lams[:, None] * rets[None, :]
+
+    def one(qi):
+        return solve_qp_auto(_with_q(Q, qi), settings)
+
+    res = jax.vmap(one)(qb)
+    ret, risk = _stats(Q, rets, res.x)
+    return FrontierResult(res.x, res.S, res.status, ret, risk)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+@highest_matmul
+def frontier_warm_sweep(Q: QP, rets, lams, settings: Settings) -> FrontierResult:
+    """Sweep the L grid sequentially, warm-starting each point from the
+    previous optimum's (S, x) (reference protocol, SSQPspeed.jl:128-163).
+
+    A failed point (status <= 0) falls back to carrying the last good state
+    so the rest of the sweep is unaffected.
+    """
+    N, J = Q.N, Q.J
+    dtype = Q.V.dtype
+    lams = jnp.asarray(lams, dtype)
+    rets = jnp.asarray(rets, dtype)
+
+    q0 = -lams[0] * rets
+    x0, Sx0, Se0, st1 = init_qp_traced(_with_q(Q, q0), settings)
+
+    def step(carry, lam):
+        Sx, Se, x = carry
+        Qi = _with_q(Q, -lam * rets)
+        res = solve_qp_loop(Qi, Sx, Se, x, settings, pre_status=st1)
+        ok = res.status > 0
+        Sxn = jnp.where(ok, res.S[:N], Sx).astype(jnp.int8)
+        Sen = (jnp.where(ok, res.S[N:], Se).astype(jnp.int8)
+               if J > 0 else Se)
+        xn = jnp.where(ok, res.x, x)
+        return (Sxn, Sen, xn), (res.x, res.S, res.status)
+
+    (_, _, _), (xs, Ss, sts) = jax.lax.scan(step, (Sx0, Se0, x0), lams)
+    ret, risk = _stats(Q, rets, xs)
+    return FrontierResult(xs, Ss, sts, ret, risk)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+@highest_matmul
+def frontier_mu_sweep(Q: QP, rets, mus, settings: Settings) -> FrontierResult:
+    """mu-parameterized frontier: ``min 1/2 z'Vz s.t. r'z = mu`` per grid
+    point (reference QP(mu, P), types.jl:321-339), solved concurrently with
+    the return row appended to A and only b varying across the batch."""
+    from ssqp_tpu.solvers.ssqp import solve_qp_auto
+
+    dtype = Q.V.dtype
+    A = jnp.concatenate([Q.A, rets[None, :].astype(dtype)], axis=0)
+
+    def one(mu):
+        b = jnp.concatenate([Q.b, mu[None]])
+        Qi = QP(Q.V, A, Q.G, jnp.zeros((Q.N,), dtype), b, Q.g, Q.d, Q.u,
+                Q.N, Q.M + 1, Q.J, Q.mc)
+        return solve_qp_auto(Qi, settings)
+
+    res = jax.vmap(one)(jnp.asarray(mus, dtype))
+    ret, risk = _stats(Q, rets, res.x)
+    return FrontierResult(res.x, res.S, res.status, ret, risk)

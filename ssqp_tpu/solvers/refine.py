@@ -1,0 +1,140 @@
+"""Iterative refinement on the final active set — the arbitrary-precision tier.
+
+The reference's "BigFloat" feature is type-genericity: the same algorithms run
+at higher precision with tighter tolerances (reference types.jl:410-417,
+README.md:40). The TPU-native equivalent (SURVEY.md §5 "numerical-precision
+subsystem") is mixed precision: the combinatorial active-set search runs in
+fast hardware dtype (f32 on TPU), then the *final* equality-KKT system on the
+converged active set is re-solved with iterative refinement — factor once in
+working dtype, compute residuals in float64, correct. Two refinement sweeps
+push the solution to near the residual dtype's accuracy, standing in for the
+reference's BigFloat tier.
+
+The refined system at a fixed active set (statuses S):
+
+    [ V restricted to free rows + pins ][ x ]   [ -q on free rows; bound values ]
+    [ kept active rows of [A;G]        ][ l ] = [ b / g on kept rows; 0 pads    ]
+
+i.e. stationarity on IN variables, x pinned on DN/UP variables, kept working
+rows enforced, dropped-row multipliers zeroed — the same mask-padded operator
+as ops/kkt.py, assembled explicitly so it can be LU-factored once and reused
+across refinement sweeps.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import lu_factor, lu_solve
+
+from ssqp_tpu.ops.masked_gj import masked_gj_purge
+from ssqp_tpu.types import DN, EO, IN, QP, Result, Settings, UP
+from ssqp_tpu.utils.precision import highest_matmul
+
+
+def _kkt_matrix(Q: QP, free, keep, z):
+    """Assemble the fixed-active-set KKT matrix and rhs at full padded shape."""
+    dtype = Q.V.dtype
+    N, M, J = Q.N, Q.M, Q.J
+    R = M + J
+    AG = jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A
+    bg = jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b
+
+    fm = free.astype(dtype)
+    bm = 1.0 - fm
+    km = keep.astype(dtype)
+
+    K11 = Q.V * fm[:, None] + jnp.diag(bm)  # free rows: V; bound rows: e_i
+    K12 = AG.T * (fm[:, None] * km[None, :])
+    K21 = AG * km[:, None]
+    K22 = jnp.diag(1.0 - km)
+    K = jnp.block([[K11, K12], [K21, K22]])
+
+    rhs = jnp.concatenate([
+        jnp.where(free, -Q.q, z),
+        km * bg,
+    ])
+    return K, rhs, AG, bg
+
+
+@partial(jax.jit, static_argnames=("settings", "iters"))
+@highest_matmul
+def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2) -> Result:
+    """Refine a solved QP on its converged active set.
+
+    Factors the fixed-active-set KKT matrix once in the problem dtype and
+    applies ``iters`` refinement sweeps with float64 residuals. Statuses are
+    unchanged; only x is improved. No-op (returns ``res``) when the solve
+    failed (status <= 0).
+    """
+    N, M, J = Q.N, Q.M, Q.J
+    dtype = Q.V.dtype
+    Sx = res.S[:N]
+    free = Sx == IN
+    z = jnp.where(Sx == DN, Q.d, jnp.where(Sx == UP, Q.u, res.x))
+
+    act = (jnp.concatenate([jnp.ones((M,), bool), res.S[N:] == EO])
+           if J > 0 else jnp.ones((M,), bool))
+    AGf = (jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A)
+    fm = free.astype(dtype)
+    bE = (jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b) - AGf @ (z * (1 - fm))
+    keep, _ = masked_gj_purge(AGf * fm[None, :], bE, act, settings.tol)
+
+    K, rhs, AG, bg = _kkt_matrix(Q, free, keep, z)
+    lufac = lu_factor(K)
+    s = lu_solve(lufac, rhs)
+
+    # float64 residuals when x64 is enabled (CPU / conformance runs); on a
+    # TPU with x64 off this degrades gracefully to working-precision
+    # refinement, which still removes the factorization's forward error.
+    K64 = K.astype(jnp.float64)
+    rhs64 = rhs.astype(jnp.float64)
+
+    # accumulate the refined solution in the residual dtype so the extra
+    # accuracy is not thrown away by an f32 output cast (BigFloat-tier
+    # semantics: the answer is higher-precision than the work dtype)
+    def sweep64(s64, _):
+        r64 = rhs64 - K64 @ s64
+        e = lu_solve(lufac, r64.astype(dtype))
+        return s64 + e.astype(jnp.float64), jnp.max(jnp.abs(r64))
+
+    s64, resid = jax.lax.scan(sweep64, s.astype(jnp.float64), None, length=iters)
+    x_ref = s64[:N]
+    ok = (res.status > 0) & jnp.all(jnp.isfinite(x_ref))
+    x_out = jnp.where(ok, x_ref, res.x.astype(x_ref.dtype))
+    return Result(x_out, res.S, res.status)
+
+
+def solve_qp_refined(
+    Q: QP,
+    *,
+    settings: Optional[Settings] = None,
+    iters: int = 2,
+    search_dtype=None,
+) -> Result:
+    """High-accuracy solve: active-set search in a fast dtype, refinement of
+    the final KKT system against the full-precision data (the BigFloat-tier
+    replacement; see module docstring).
+
+    ``search_dtype`` (e.g. ``jnp.float32`` when ``Q`` is float64) runs the
+    combinatorial search on a downcast copy — the TPU-native mixed-precision
+    strategy: the active set only needs enough accuracy to be *identified*,
+    the final solution gets the full-precision treatment.
+    """
+    import jax
+
+    from ssqp_tpu.solvers.ssqp import solve_qp
+
+    if search_dtype is not None and jnp.dtype(search_dtype) != Q.V.dtype:
+        Qs = jax.tree.map(lambda a: a.astype(search_dtype), Q)
+        s_search = Settings.for_dtype(search_dtype)
+    else:
+        Qs = Q
+        s_search = settings or Settings.for_dtype(Q.V.dtype)
+    settings = settings or Settings.for_dtype(Q.V.dtype)
+    res = solve_qp(Qs, settings=s_search)
+    res = Result(res.x.astype(Q.V.dtype), res.S, res.status)
+    return refine_result(Q, res, settings, iters)

@@ -109,7 +109,10 @@ def solve_qp_loop(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> R
         fm = free.astype(dtype)
         act = jnp.concatenate([jnp.ones((M,), bool), Se == EO]) if J > 0 else jnp.ones((M,), bool)
         bE = bg - AG @ (z * (1.0 - fm))
-        keep, inconsistent = masked_gj_purge(AG * fm[None, :], bE, act, tol)
+        if R > 0:
+            keep, inconsistent = masked_gj_purge(AG * fm[None, :], bE, act, tol)
+        else:
+            keep, inconsistent = jnp.ones((0,), bool), jnp.asarray(False)
 
         res = kkt_solve(V, q, AG, bg, z, free, keep)
         alpha, p, gamma = res.alpha, res.p, res.gamma

@@ -259,6 +259,9 @@ def make_qp(
     if d is None:
         d = np.zeros(N, dtype)
     d, u, mc = _prep_bounds(d, u, N, dtype)
+    if mc == MC_OK and J == 0 and not (np.isfinite(d).any() or np.isfinite(u).any()):
+        # no inequalities and no finite bounds (types.jl:132-135)
+        mc = MC_NO_CONSTRAINTS
     if mc == MC_OK and check_psd and N > 0:
         w = np.linalg.eigvalsh(V.astype(np.float64))
         if w[0] < -1e-9 * max(1.0, abs(w[-1])):
@@ -268,6 +271,24 @@ def make_qp(
         jnp.asarray(b), jnp.asarray(g), jnp.asarray(d), jnp.asarray(u),
         N, M, J, mc,
     )
+
+
+def qp_frontier_L(P: QP, L) -> QP:
+    """L-parameterized frontier QP: objective ``1/2 z'Vz - L q'z`` where
+    ``P.q`` holds expected returns (reference QP(P::QP, L), types.jl:303-319)."""
+    L = float(L)
+    return QP(P.V, P.A, P.G, -L * P.q, P.b, P.g, P.d, P.u,
+              P.N, P.M, P.J, P.mc)
+
+
+def qp_frontier_mu(P: QP, mu) -> QP:
+    """mu-parameterized frontier QP: appends the expected-return equality
+    ``q'z = mu`` to Az=b and zeroes the linear term (reference QP(mu, P),
+    types.jl:321-339)."""
+    A = jnp.concatenate([P.A, P.q[None, :]], axis=0)
+    b = jnp.concatenate([P.b, jnp.asarray([mu], P.b.dtype)])
+    return QP(P.V, A, P.G, jnp.zeros_like(P.q), b, P.g, P.d, P.u,
+              P.N, P.M + 1, P.J, P.mc)
 
 
 def qp_from_lp(P: LP) -> QP:

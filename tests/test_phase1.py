@@ -50,9 +50,23 @@ def test_phase1_infeasible():
 
 
 def test_free_variables():
-    # min 1/2 ||x||^2 s.t. sum x = 1, x free -> x = 1/N
+    # all-free with no inequalities -> mc=-20, status -1 through the direct
+    # API (reference types.jl:280-284; the Model API solves it analytically)
     N = 5
     Q = make_qp(np.eye(N), d=np.full(N, -np.inf), u=np.full(N, np.inf))
+    assert Q.mc == -20
+    res = solve_qp(Q)
+    assert int(res.status) == -1
+
+
+def test_free_variables_with_inequality():
+    # min 1/2 ||x||^2 s.t. sum x = 1, x free, plus a slack inequality:
+    # optimum x = 1/N (free-variable split path through Phase-1)
+    N = 5
+    G = np.zeros((1, N))
+    G[0, 0] = 1.0
+    Q = make_qp(np.eye(N), G=G, g=[10.0],
+                d=np.full(N, -np.inf), u=np.full(N, np.inf))
     res = solve_qp(Q)
     assert int(res.status) > 0
     np.testing.assert_allclose(np.asarray(res.x), np.full(N, 1 / N), atol=1e-8)
