@@ -70,13 +70,17 @@ def masked_gj_purge(A: jax.Array, b: jax.Array, row_mask: jax.Array, tol):
     Returns:
       keep: (R,) bool — independent active rows (keep ⊆ row_mask).
       inconsistent: () bool — some active row reduced to [~0 | beta], |beta|>tol.
+      bad_rows: (R,) bool — the offending rows themselves (dependent AND with
+        conflicting right-hand side; dependent-but-consistent rows are not
+        flagged).
     """
     rm = row_mask.astype(A.dtype)
     E = jnp.concatenate([A * rm[:, None], (b * rm)[:, None]], axis=1)
     E, keep = _gj_sweep(E, tol, A.shape[1])
     dropped = row_mask & ~keep
-    inconsistent = jnp.any(dropped & (jnp.abs(E[:, -1]) > tol))
-    return keep, inconsistent
+    bad_rows = dropped & (jnp.abs(E[:, -1]) > tol)
+    inconsistent = jnp.any(bad_rows)
+    return keep, inconsistent, bad_rows
 
 
 def masked_row_rank(A: jax.Array, row_mask: jax.Array, tol):

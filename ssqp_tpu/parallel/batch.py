@@ -67,11 +67,11 @@ def solve_qp_batch_warm(
     (batched analogue of solveQP(Q, S, x0), SSQP.jl:237) — the reference's
     frontier-sweep trick, where adjacent instances reuse the previous active
     set."""
-    from ssqp_tpu.solvers.ssqp import solve_qp_loop
+    from ssqp_tpu.solvers.ssqp import solve_qp_warm2
 
     ax = qp_axes(Q, shared)
     return jax.vmap(
-        lambda p, s, e, x: solve_qp_loop(p, s, e, x, settings),
+        lambda p, s, e, x: solve_qp_warm2(p, s, e, x, settings),
         in_axes=(ax, 0, 0, 0),
     )(Q, Sx0, Se0, x0)
 

@@ -54,7 +54,7 @@ def simplex_lp_traced(P: LP, settings: Settings, minimize: bool = True) -> Resul
     b0 = std.b0
 
     # ---- purge redundant rows of the standardized system ------------------
-    keep_rows, inconsistent = masked_gj_purge(A0, b0, jnp.ones((R,), bool), tol)
+    keep_rows, inconsistent, _ = masked_gj_purge(A0, b0, jnp.ones((R,), bool), tol)
     rm = keep_rows.astype(dtype)
     A0p = A0 * rm[:, None]
     b0p = b0 * rm

@@ -81,7 +81,7 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2) -> Res
     AGf = (jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A)
     fm = free.astype(dtype)
     bE = (jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b) - AGf @ (z * (1 - fm))
-    keep, _ = masked_gj_purge(AGf * fm[None, :], bE, act, settings.tol)
+    keep, _, _ = masked_gj_purge(AGf * fm[None, :], bE, act, settings.tol)
 
     K, rhs, AG, bg = _kkt_matrix(Q, free, keep, z)
     lufac = lu_factor(K)

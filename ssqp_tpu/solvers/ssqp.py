@@ -77,17 +77,31 @@ def _free_k(z, Sx, V, q, tol):
 
 @partial(jax.jit, static_argnames=("settings",))
 @highest_matmul
-def solve_qp_loop(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> Result:
+def solve_qp_loop(
+    Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None,
+    mf_flag=None, max_iter=None,
+) -> Result:
     """Run the S-loop from a warm start (reference solveQP(Q, S, x0),
     SSQP.jl:237-377). ``Sx0``/``Se0`` are int8 status arrays, ``x0`` a feasible
     point consistent with them. ``pre_status`` (traced int32) lets a fused
-    Phase-1 short-circuit the loop: <= 0 means already done with that code."""
+    Phase-1 short-circuit the loop: <= 0 means already done with that code.
+
+    ``mf_flag``/``max_iter`` are TRACED overrides of settings.multi_free /
+    settings.max_iter: the fast and exact passes of the two-loop strategy in
+    :func:`solve_qp_auto` then share one compiled loop body (XLA deduplicates
+    the identical while computations), halving compile time."""
     V, A, G, q, b, g = Q.V, Q.A, Q.G, Q.q, Q.b, Q.g
     d, u = Q.d, Q.u
     N, M, J = Q.N, Q.M, Q.J
     dtype = V.dtype
     tol = jnp.asarray(settings.tol, dtype)
     tolG = jnp.asarray(settings.tolG, dtype)
+    mf_v = jnp.asarray(
+        settings.multi_free if mf_flag is None else mf_flag, bool
+    )
+    max_it = jnp.asarray(
+        settings.max_iter if max_iter is None else max_iter, jnp.int32
+    )
 
     AG = jnp.concatenate([A, G], axis=0) if J > 0 else A
     bg = jnp.concatenate([b, g]) if J > 0 else b
@@ -110,13 +124,55 @@ def solve_qp_loop(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> R
         act = jnp.concatenate([jnp.ones((M,), bool), Se == EO]) if J > 0 else jnp.ones((M,), bool)
         bE = bg - AG @ (z * (1.0 - fm))
         if R > 0:
-            keep, inconsistent = masked_gj_purge(AG * fm[None, :], bE, act, tol)
+            keep, inconsistent, bad_rows = masked_gj_purge(AG * fm[None, :], bE, act, tol)
         else:
-            keep, inconsistent = jnp.ones((0,), bool), jnp.asarray(False)
+            keep, inconsistent, bad_rows = (
+                jnp.ones((0,), bool), jnp.asarray(False), jnp.ones((0,), bool)
+            )
+
+        # Anti-cycling window for the aggressive policies below: after it
+        # expires the loop is exactly the reference algorithm.
+        aggr = mf_v & (it <= N + J + 16)
 
         res = kkt_solve(V, q, AG, bg, z, free, keep)
         alpha, p, gamma = res.alpha, res.p, res.gamma
-        numerr = inconsistent | ~res.ok
+        # An inconsistent working system is a numerical error in reference
+        # semantics (SSQP.jl:310-319). Aggressive row activation can
+        # transiently over-activate (activate rows whose residual conflicts
+        # with the rest of the working set), and the resulting state can
+        # persist past the anti-cycling window — so whenever multi_free is
+        # on, TRULY conflicting purged inequality rows are released back to
+        # OE. Dependent-but-consistent rows stay EO with recovered
+        # multipliers exactly like the reference (releasing those would undo
+        # the ratio test's activation and cycle). An inconsistent *equality*
+        # row cannot be repaired and stays a numerical error. With
+        # multi_free=False the reference's fail-fast behavior is exact.
+        mf = mf_v
+        numerr = (inconsistent & ~mf) | ~res.ok
+        # Working-set repair (multi_free mode only; the reference fails fast
+        # with -1 instead, SSQP.jl:310-319). A "bad" row — active but
+        # unsatisfiable given the pinned variables and the kept rows — can
+        # only arise after an aggressive clip. Repair frees every pinned
+        # variable in the support of the bad rows: K grows strictly, so this
+        # cannot cycle. If no variable can be freed, bad inequality rows are
+        # released to OE (they genuinely conflict with the kept rows); a bad
+        # equality row with nothing to free is a real numerical error.
+        any_bad = jnp.any(bad_rows)
+        brm = bad_rows.astype(dtype)
+        supp = (brm @ jnp.abs(AG)) > 0 if R > 0 else jnp.zeros((N,), bool)
+        can_emerg = supp & ~free
+        emerg = mf & any_bad & jnp.any(can_emerg)
+        SxE = jnp.where(can_emerg, IN, Sx).astype(Sx.dtype)
+        # Releasing is itself cycle-prone (a released violated row re-activates
+        # through the zero-ratio rule below), so it is confined to the
+        # anti-cycling window; afterwards an unrepairable conflict is the
+        # reference's numerical error.
+        last_resort = mf & any_bad & ~jnp.any(can_emerg)
+        if J > 0:
+            Se = jnp.where(last_resort & aggr & bad_rows[M:], OE, Se).astype(Se.dtype)
+        numerr = numerr | (last_resort & ~aggr)
+        bad_eq = jnp.any(bad_rows[:M]) if M > 0 else jnp.asarray(False)
+        numerr = numerr | (last_resort & bad_eq)
 
         # ---- aStep ratio test (SSQP.jl:61-134) ------------------------------
         safe_p = jnp.where(p == 0, jnp.ones((), dtype), p)
@@ -129,7 +185,13 @@ def solve_qp_loop(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> R
             po = G @ p
             zo = g - G @ z
             row_ev = Og & (po > tol)
-            L_row = jnp.where(row_ev, zo / jnp.where(po == 0, 1.0, po), _BIG)
+            # A violated OE row (zo < 0, only possible transiently after an
+            # aggressive clip; the reference's feasibility invariant makes
+            # zo >= 0 always) blocks immediately: zero ratio, so it activates
+            # at L1 = 0 and the next EQP projects back onto it.
+            L_row = jnp.where(
+                row_ev, jnp.maximum(zo, 0.0) / jnp.where(po == 0, 1.0, po), _BIG
+            )
             Lmin_rows = jnp.min(L_row, initial=_BIG)
         else:
             L_row = jnp.zeros((0,), dtype)
@@ -141,14 +203,72 @@ def solve_qp_loop(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> R
         do_step = jnp.max(jnp.abs(p)) > tolG
         partial_step = do_step & (L1 < 1.0)
 
-        # partial-step outcome: advance, flip ALL events within tol of L1
-        zA = z + L1 * p
-        fl_up = up_ev & (L_up <= L1 + tol)
-        fl_dn = dn_ev & (L_dn <= L1 + tol)
-        zA = jnp.where(fl_up, u, jnp.where(fl_dn, d, zA))
+        # Blocking policy. Exact mode is the reference semantics: advance to
+        # the first blocking event L1 and flip ALL events within tol of it
+        # (multi-blocking, SSQP.jl:98-127) — one partial step per distinct
+        # blocking distance, so a candidate minimizer violating m bounds
+        # costs m iterations. Aggressive mode instead takes the full step to
+        # the candidate alpha CLIPPED into the box, pinning every violated
+        # bound and activating every inequality violated at the clipped
+        # point in one iteration (projected-step style). The clipped point
+        # may be equality-infeasible, but the next iteration's KKT solve
+        # re-solves the free coordinates from the pinned values, restoring
+        # feasibility exactly; monotone-descent is sacrificed, so the same
+        # anti-cycling switch as the status-release policy falls back to
+        # exact stepping after `aggr` expires.
+
+        # exact partial-step outcome
+        zE = z + L1 * p
+        fl_up_e = up_ev & (L_up <= L1 + tol)
+        fl_dn_e = dn_ev & (L_dn <= L1 + tol)
+        # Degenerate-step guard (multi_free mode): at a zero-length step the
+        # multi-blocking tie flip can pin several variables without moving z,
+        # which together with the working-set repair can close a cycle
+        # (pin-many -> repair-frees -> pin-many ...). Flipping only the
+        # single least-index event at degenerate steps (Bland-style) breaks
+        # such cycles. With multi_free=False ties flip together exactly like
+        # the reference (SSQP.jl:98-127).
+        degen = mf & (L1 <= tol)
+        ev_all = fl_up_e | fl_dn_e
+        first_ev = jnp.argmax(ev_all)
+        single = jnp.arange(N) == first_ev
+        fl_up_e = jnp.where(degen & jnp.any(ev_all), fl_up_e & single, fl_up_e)
+        fl_dn_e = jnp.where(degen & jnp.any(ev_all), fl_dn_e & single, fl_dn_e)
+        zE = jnp.where(fl_up_e, u, jnp.where(fl_dn_e, d, zE))
+
+        # aggressive clipped-full-step outcome. Pinning is capped so at least
+        # M + J + 1 variables stay free (pinning more than that can leave the
+        # working equalities rank-deficient/unsatisfiable): if the clip would
+        # pin more than that, nothing is pinned this iteration and the values
+        # are just clipped (the exact machinery then takes over one event at
+        # a time). Un-pinned violating variables still move to their bound
+        # (keeping z box-feasible) but keep status IN.
+        cl_up = free & fu & (alpha > u)
+        cl_dn = free & fd & (alpha < d)
+        kcap = jnp.maximum(K - (M + J + 1), 0)
+        # prefix cap: pin the first kcap violating variables (cumsum mask —
+        # cheap and fixed-shape, no sort); the rest just clip their values
+        pin_ok = jnp.cumsum((cl_up | cl_dn).astype(jnp.int32)) <= kcap
+        zG = jnp.where(cl_up, u, jnp.where(cl_dn, d, alpha))
+        zG = jnp.where(free, zG, z)
+        cl_up = cl_up & pin_ok
+        cl_dn = cl_dn & pin_ok
+
+        fl_up = jnp.where(aggr, cl_up, fl_up_e)
+        fl_dn = jnp.where(aggr, cl_dn, fl_dn_e)
+        zA = jnp.where(aggr, zG, zE)
         SxA = jnp.where(fl_up, UP, jnp.where(fl_dn, DN, Sx)).astype(Sx.dtype)
         if J > 0:
-            SeA = jnp.where(row_ev & (L_row <= L1 + tol), EO, Se).astype(Se.dtype)
+            act_e = row_ev & (L_row <= L1 + tol)
+            # degenerate-step guard, row part: variables take precedence;
+            # otherwise activate only the first tied row
+            first_row = jnp.arange(J) == jnp.argmax(act_e)
+            act_e = jnp.where(
+                degen & jnp.any(ev_all), jnp.zeros_like(act_e),
+                jnp.where(degen, act_e & first_row, act_e),
+            )
+            act_g = Og & (G @ zA > g + tol)
+            SeA = jnp.where(jnp.where(aggr, act_g, act_e), EO, Se).astype(Se.dtype)
         else:
             SeA = Se
 
@@ -165,10 +285,25 @@ def solve_qp_loop(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> R
             keys = var_key
         kmin = jnp.argmin(keys)
         found = keys[kmin] < _BIG
-        # flip exactly the most-violated status (SSQP.jl:174-187)
-        SxB = jnp.where((jnp.arange(N) == kmin) & found, IN, Sx).astype(Sx.dtype)
+        # Status release policy. The reference flips only THE most violated
+        # single status per iteration (SSQP.jl:174-187) — at most one variable
+        # joins the free set per KKT check, which costs O(#IN-at-optimum)
+        # iterations from a Phase-1 vertex start. TPU-natively each iteration
+        # is a fixed-price full-shape KKT solve, so releasing *every*
+        # violated status at once ("multi-free") converges in far fewer
+        # iterations for the same per-iteration cost. Multi-release can cycle
+        # on degenerate problems, so after `aggr_limit` iterations the loop
+        # falls back to the reference's single-flip rule (the same
+        # switch-to-Bland escape the reference uses in its simplex,
+        # Simplex.jl:486-490).
+        one_hot_v = (jnp.arange(N) == kmin) & found
+        free_v = jnp.where(aggr, viol_up | viol_dn, one_hot_v)
+        SxB = jnp.where(free_v & found, IN, Sx).astype(Sx.dtype)
         if J > 0:
-            SeB = jnp.where((jnp.arange(J) == (kmin - N)) & found, OE, Se).astype(Se.dtype)
+            one_hot_r = (jnp.arange(J) == (kmin - N)) & found
+            row_viol = (Se == EO) & (Lda < -tolG)
+            free_r = jnp.where(aggr, row_viol, one_hot_r)
+            SeB = jnp.where(free_r & found, OE, Se).astype(Se.dtype)
         else:
             SeB = Se
         zP, SxP, SeP = _polish(zB, SxB, SeB, d, u, G, g, tol)
@@ -177,19 +312,23 @@ def solve_qp_loop(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> R
         # ---- combine outcomes -----------------------------------------------
         is_free_k = K == 0
 
-        def sel(freek_v, err_v, partial_v, chk_v, opt_v):
-            """freeK -> numerical-error -> partial step -> KKT flip -> optimal."""
+        def sel(freek_v, emerg_v, err_v, partial_v, chk_v, opt_v):
+            """freeK -> emergency release -> numerical-error -> partial step
+            -> KKT flip -> optimal."""
             x = jnp.where(found, chk_v, opt_v)
             x = jnp.where(partial_step, partial_v, x)
             x = jnp.where(numerr, err_v, x)
+            x = jnp.where(emerg, emerg_v, x)
             return jnp.where(is_free_k, freek_v, x)
 
-        z_n = sel(z, z, zA, zB, zP)
-        Sx_n = sel(SxK, Sx, SxA, SxB, SxP).astype(Sx.dtype)
-        Se_n = sel(Se, Se, SeA, SeB, SeP).astype(Se.dtype)
-        done_n = sel(optK, jnp.array(True), jnp.array(False), jnp.array(False), jnp.array(True))
+        z_n = sel(z, z, z, zA, zB, zP)
+        Sx_n = sel(SxK, SxE, Sx, SxA, SxB, SxP).astype(Sx.dtype)
+        Se_n = sel(Se, Se, Se, SeA, SeB, SeP).astype(Se.dtype)
+        done_n = sel(optK, jnp.array(False), jnp.array(True), jnp.array(False),
+                     jnp.array(False), jnp.array(True))
         status_n = sel(
             jnp.where(optK, it, 0),
+            jnp.asarray(0, jnp.int32),
             jnp.asarray(-1, jnp.int32),
             jnp.asarray(0, jnp.int32),
             jnp.asarray(0, jnp.int32),
@@ -198,7 +337,7 @@ def solve_qp_loop(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> R
         return _LoopState(z_n, Sx_n, Se_n, it, done_n, status_n)
 
     def cond(st: _LoopState):
-        return (~st.done) & (st.it < settings.max_iter)
+        return (~st.done) & (st.it < max_it)
 
     pre = jnp.asarray(1 if pre_status is None else pre_status, jnp.int32)
     st0 = _LoopState(
@@ -210,9 +349,33 @@ def solve_qp_loop(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> R
         jnp.where(pre <= 0, pre, 0).astype(jnp.int32),
     )
     st = jax.lax.while_loop(cond, body, st0)
-    status = jnp.where(st.done, st.status, -settings.max_iter).astype(jnp.int32)
+    status = jnp.where(st.done, st.status, -max_it).astype(jnp.int32)
     S = jnp.concatenate([st.Sx, st.Se]) if J > 0 else st.Sx
     return Result(st.z, S, status)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+@highest_matmul
+def solve_qp_warm2(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> Result:
+    """Two-pass warm-started solve: fast multi-free loop with a capped
+    iteration budget, then an exact reference-semantics loop from the same
+    start for instances the fast pass failed to converge (cycling is possible
+    once feasibility is traded away). Both passes share one compiled loop body
+    via traced flags. Fully traced, so it vmaps/shard_maps."""
+    if not settings.multi_free:
+        return solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=pre_status)
+    cap = min(settings.max_iter, Q.N + Q.J + 64)
+    r1 = solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=pre_status,
+                       mf_flag=True, max_iter=cap)
+    ok1 = r1.status > 0
+    pre = jnp.asarray(1 if pre_status is None else pre_status, jnp.int32)
+    pre2 = jnp.where(ok1, jnp.asarray(-9, jnp.int32), pre)
+    r2 = solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=pre2,
+                       mf_flag=False, max_iter=settings.max_iter)
+    x = jnp.where(ok1, r1.x, r2.x)
+    S = jnp.where(ok1, r1.S, r2.S)
+    status = jnp.where(ok1, r1.status, r2.status).astype(jnp.int32)
+    return Result(x, S, status)
 
 
 def solve_qp(
@@ -242,7 +405,7 @@ def solve_qp(
     S = jnp.asarray(S, jnp.int8)
     Sx0, Se0 = S[: Q.N], S[Q.N :]
     x0 = jnp.asarray(x0, Q.V.dtype)
-    return solve_qp_loop(Q, Sx0, Se0, x0, settings)
+    return solve_qp_warm2(Q, Sx0, Se0, x0, settings)
 
 
 @partial(jax.jit, static_argnames=("settings", "settings_lp"))
@@ -253,8 +416,16 @@ def solve_qp_auto(Q: QP, settings: Settings, settings_lp: Optional[Settings] = N
     Jit-compatible end to end, so it `vmap`s over instance batches and
     `shard_map`s over device meshes: an infeasible Phase-1 short-circuits the
     S-loop through its ``pre_status`` flag rather than a host branch.
+    Two-loop strategy when ``settings.multi_free`` is on: a fast
+    aggressive loop with a capped iteration budget first, then — only for
+    instances it failed to converge (cycling is possible once feasibility is
+    traded away, see solve_qp_loop) — an exact reference-semantics loop from
+    the same Phase-1 state (monotone and feasible throughout). Converged
+    instances pass through the second `lax.while_loop` with their done flag
+    already set, so in a batch the fallback costs only what the stragglers
+    need.
     """
     from ssqp_tpu.solvers.phase1 import init_qp_traced
 
     x0, Sx0, Se0, st1 = init_qp_traced(Q, settings_lp or settings)
-    return solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=st1)
+    return solve_qp_warm2(Q, Sx0, Se0, x0, settings, pre_status=st1)

@@ -84,6 +84,11 @@ class Settings:
     rule: str = "dantzig"  # 'dantzig' | 'max_improvement' | 'steepest_edge'
     pivot: str = "row"  # redundancy-purge flavor (row pivoting, utils.jl:49)
     dtype: Any = jnp.float64
+    # Release every violated status per KKT check instead of the reference's
+    # single most-violated flip (falls back to single-flip after N+J+16
+    # iterations for anti-cycling). Fixed-price full-shape iterations make
+    # this strictly cheaper on TPU; disable for exact reference semantics.
+    multi_free: bool = True
 
     @staticmethod
     def for_dtype(dtype) -> "Settings":

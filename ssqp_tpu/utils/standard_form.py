@@ -76,7 +76,7 @@ def standard_form(c, A, b, G, g, d, u) -> StandardForm:
     # purge redundant/inconsistent rows of the original equality block [A b]
     # (reference purges only A rows: G rows get independent slack columns)
     if M > 0:
-        keepA, inconsistent = masked_gj_purge(A, b, jnp.ones((M,), bool), tol)
+        keepA, inconsistent, _ = masked_gj_purge(A, b, jnp.ones((M,), bool), tol)
     else:
         keepA, inconsistent = jnp.ones((0,), bool), jnp.asarray(False)
     keep_rows = jnp.concatenate([keepA, jnp.ones((J,), bool)]) if J > 0 else keepA

@@ -27,7 +27,7 @@ def test_purge_full_rank_consistent(seed):
     A = rng.standard_normal((R, C))
     x = rng.standard_normal(C)
     b = A @ x
-    keep, inc = masked_gj_purge(jnp.asarray(A), jnp.asarray(b), jnp.ones(R, bool), TOL)
+    keep, inc, _ = masked_gj_purge(jnp.asarray(A), jnp.asarray(b), jnp.ones(R, bool), TOL)
     assert not bool(inc)
     assert int(keep.sum()) == R
 
@@ -41,7 +41,7 @@ def test_purge_redundant_consistent(seed):
     A[5] = -A[2]
     x = rng.standard_normal(C)
     b = A @ x
-    keep, inc = masked_gj_purge(jnp.asarray(A), jnp.asarray(b), jnp.ones(R, bool), TOL)
+    keep, inc, _ = masked_gj_purge(jnp.asarray(A), jnp.asarray(b), jnp.ones(R, bool), TOL)
     assert not bool(inc)
     assert int(keep.sum()) == np_rank(A)
     kept_rows = A[np.asarray(keep)]
@@ -54,7 +54,7 @@ def test_purge_inconsistent_detected():
     A[3] = A[0] + A[1]
     b = rng.standard_normal(4)
     b[3] = b[0] + b[1] + 1.0  # violates the dependency
-    keep, inc = masked_gj_purge(jnp.asarray(A), jnp.asarray(b), jnp.ones(4, bool), TOL)
+    keep, inc, _ = masked_gj_purge(jnp.asarray(A), jnp.asarray(b), jnp.ones(4, bool), TOL)
     assert bool(inc)
 
 
@@ -63,7 +63,7 @@ def test_purge_respects_row_mask():
     A = rng.standard_normal((5, 9))
     b = A @ rng.standard_normal(9)
     mask = jnp.array([True, False, True, True, False])
-    keep, inc = masked_gj_purge(jnp.asarray(A), jnp.asarray(b), mask, TOL)
+    keep, inc, _ = masked_gj_purge(jnp.asarray(A), jnp.asarray(b), mask, TOL)
     assert not bool(inc)
     assert not bool(keep[1]) and not bool(keep[4])
     assert int(keep.sum()) == 3
@@ -112,7 +112,7 @@ def test_vmap_purge():
     A = rng.standard_normal((B, R, C))
     A[:, 4] = A[:, 0]  # every instance has one redundant row
     b = np.einsum("brc,bc->br", A, rng.standard_normal((B, C)))
-    f = jax.vmap(lambda a, bb: masked_gj_purge(a, bb, jnp.ones(R, bool), TOL))
+    f = jax.vmap(lambda a, bb: masked_gj_purge(a, bb, jnp.ones(R, bool), TOL)[:2])
     keep, inc = f(jnp.asarray(A), jnp.asarray(b))
     assert not bool(inc.any())
     assert (np.asarray(keep).sum(axis=1) == 4).all()

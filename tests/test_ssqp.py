@@ -16,7 +16,9 @@ from ssqp_tpu.utils.problems import (
 def warm(Q, z0, Sx0, Se0=None, settings=None):
     settings = settings or Settings()
     Se0 = np.full(Q.J, OE, np.int8) if Se0 is None else Se0
-    return solve_qp_loop(
+    from ssqp_tpu.solvers.ssqp import solve_qp_warm2
+
+    return solve_qp_warm2(
         Q, jnp.asarray(Sx0, jnp.int8), jnp.asarray(Se0, jnp.int8),
         jnp.asarray(z0), settings,
     )
