@@ -25,11 +25,59 @@ restricted to the appropriate masks. All solves are Cholesky-based
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
 from jax.scipy.linalg import cho_solve, cholesky as _chol
+
+
+def _spd_solve_xla(A, rhs):
+    L = _chol(A, lower=True)
+    return cho_solve((L, True), rhs)
+
+
+@custom_vmap
+def spd_solve(A, rhs):
+    """Solve the SPD system ``A x = rhs`` (rhs may have trailing columns).
+
+    Unbatched: XLA Cholesky. Batched (under `vmap`, i.e. the instance-batched
+    solver loops): dispatched to the fused Pallas factorize-and-solve kernel —
+    XLA's batched `cholesky` collapses ~500x inside `lax.while_loop` on TPU
+    (see ops/pallas_chol.py), which made the batched KKT solve the entire
+    iteration cost before this dispatch.
+    """
+    return _spd_solve_xla(A, rhs)
+
+
+@spd_solve.def_vmap
+def _spd_solve_vmap(axis_size, in_batched, A, rhs):
+    A_b, r_b = in_batched
+    if not A_b:
+        A = jnp.broadcast_to(A, (axis_size,) + A.shape)
+    if not r_b:
+        rhs = jnp.broadcast_to(rhs, (axis_size,) + rhs.shape)
+    N = A.shape[-1]
+    import os
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and A.dtype == jnp.float32
+        and N >= 16
+        and not os.environ.get("SSQP_NO_PALLAS")
+    )
+    if use_pallas:
+        from ssqp_tpu.ops.pallas_chol import chol_solve_batch
+
+        squeeze = rhs.ndim == 2
+        r3 = rhs[..., None] if squeeze else rhs
+        out = chol_solve_batch(A, r3)
+        out = out[..., 0] if squeeze else out
+    else:
+        out = jax.vmap(_spd_solve_xla)(A, rhs)
+    return out, True
 
 
 class KKTResult(NamedTuple):
@@ -38,6 +86,108 @@ class KKTResult(NamedTuple):
     alphaL: jax.Array  # (R,) working-row multipliers (zero on non-kept rows)
     gamma: jax.Array  # (N,) reduced gradient at alpha (meaningful on bound coords)
     ok: jax.Array  # () bool — factorization produced finite results
+
+
+def _vp_apply(V, fm, x):
+    """Apply the mask-padded operator ``Vp = f f' ⊙ V + diag(1-f)`` without
+    materializing it. ``x`` is (N, K); the V product is a shared-matrix GEMM
+    (MXU), which is the whole point: no (N, N) build, no factorization."""
+    bmx = (1.0 - fm)[:, None] * x
+    return fm[:, None] * (V @ (x * fm[:, None])) + bmx
+
+
+def cg_solve_padded(V, fm, B, iters, rtol):
+    """Jacobi-preconditioned conjugate gradients on ``Vp X = B`` (multi-rhs).
+
+    The padded operator's spectrum is {eigs of V_FF} ∪ {1}; with the usual
+    PSD-plus-ridge objectives its condition number is small, so a few dozen
+    MXU matvec iterations reach f32 accuracy — on TPU this beats any
+    factorization: there is no N-sequential dependency at all, and batching
+    over instances turns the matvecs into one big GEMM. Iteration count is a
+    TRACED bound (the fast/exact solver passes share one compiled body);
+    per-column convergence freezing keeps extra iterations free of drift.
+
+    Returns (X, rel_residual (K,)).
+    """
+    dtype = V.dtype
+    dinv = 1.0 / (fm * jnp.diag(V) + (1.0 - fm))
+    bnorm2 = jnp.maximum(jnp.sum(B * B, axis=0), 1e-30)
+    tol2 = (rtol * rtol) * bnorm2
+
+    X = jnp.zeros_like(B)
+    r = B
+    zp = r * dinv[:, None]
+    p = zp
+    rz = jnp.sum(r * zp, axis=0)
+
+    def body(carry):
+        i, X, r, p, rz = carry
+        alive = jnp.sum(r * r, axis=0) > tol2
+        Ap = _vp_apply(V, fm, p)
+        pAp = jnp.sum(p * Ap, axis=0)
+        alpha = jnp.where(alive & (pAp > 0), rz / jnp.maximum(pAp, 1e-30), 0.0)
+        X = X + alpha[None, :] * p
+        r = r - alpha[None, :] * Ap
+        zn = r * dinv[:, None]
+        rzn = jnp.sum(r * zn, axis=0)
+        beta = jnp.where(alive, rzn / jnp.maximum(rz, 1e-30), 0.0)
+        p = zn + beta[None, :] * p
+        return i + 1, X, r, p, rzn
+
+    def cond(carry):
+        i, X, r, p, rz = carry
+        return (i < iters) & jnp.any(jnp.sum(r * r, axis=0) > tol2)
+
+    _, X, r, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), X, r, p, rz)
+    )
+    rel = jnp.sqrt(jnp.sum(r * r, axis=0) / bnorm2)
+    return X, rel
+
+
+def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol) -> KKTResult:
+    """CG variant of :func:`kkt_solve` — same contract, factorization-free.
+
+    ``cg_iters``/``rtol`` may be traced. The (R, R) Schur system still uses a
+    direct solve (R = M+J working rows is small in the target regime).
+    """
+    dtype = V.dtype
+    fm = free.astype(dtype)
+    bm = 1.0 - fm
+    km = keep.astype(dtype)
+
+    zB = z * bm
+    c_full = V @ zB + q
+    cp = fm * c_full
+
+    Ap = AG * (km[:, None] * fm[None, :])
+    bp = km * (bg - AG @ zB)
+
+    if AG.shape[0] == 0:
+        w, rel = cg_solve_padded(V, fm, cp[:, None], cg_iters, rtol)
+        w = w[:, 0]
+        alphaL = jnp.zeros((0,), dtype)
+        alpha_f = -w
+        relmax = jnp.max(rel, initial=0.0)
+    else:
+        rhs = jnp.concatenate([cp[:, None], Ap.T], axis=1)
+        sol, rel = cg_solve_padded(V, fm, rhs, cg_iters, rtol)
+        relmax = jnp.max(rel, initial=0.0)
+        w, mT = sol[:, 0], sol[:, 1:]
+        C = Ap @ mT
+        C = (C + C.T) / 2 + jnp.diag(1.0 - km)
+        alphaL = -spd_solve(C, Ap @ w + bp)
+        alpha_f = -(mT @ alphaL + w)
+
+    alpha = fm * alpha_f + bm * z
+    p = fm * (alpha_f - z)
+    gamma = V @ alpha + q + AG.T @ (km * alphaL)
+    ok = (
+        jnp.all(jnp.isfinite(alpha))
+        & jnp.all(jnp.isfinite(alphaL))
+        & (relmax < 1e-3)
+    )
+    return KKTResult(alpha, p, alphaL, gamma, ok)
 
 
 def kkt_solve(V, q, AG, bg, z, free, keep) -> KKTResult:
@@ -70,21 +220,19 @@ def kkt_solve(V, q, AG, bg, z, free, keep) -> KKTResult:
     Ap = AG * (km[:, None] * fm[None, :])
     bp = km * (bg - AG @ zB)
 
-    L = _chol(Vp, lower=True)
     if AG.shape[0] == 0:  # unconstrained working set (M = J = 0)
-        w = cho_solve((L, True), cp)
+        w = spd_solve(Vp, cp)
         alphaL = jnp.zeros((0,), dtype)
         alpha_f = -w
     else:
-        # w = Vp^{-1} cp ; mT = Vp^{-1} Ap'
+        # w = Vp^{-1} cp ; mT = Vp^{-1} Ap'   (one fused factor+multi-solve)
         rhs = jnp.concatenate([cp[:, None], Ap.T], axis=1)
-        sol = cho_solve((L, True), rhs)
+        sol = spd_solve(Vp, rhs)
         w, mT = sol[:, 0], sol[:, 1:]
 
         C = Ap @ mT
         C = (C + C.T) / 2 + jnp.diag(1.0 - km)
-        Lc = _chol(C, lower=True)
-        alphaL = -cho_solve((Lc, True), Ap @ w + bp)
+        alphaL = -spd_solve(C, Ap @ w + bp)
 
         alpha_f = -(mT @ alphaL + w)
     alpha = fm * alpha_f + bm * z
@@ -126,8 +274,7 @@ def recover_dropped_multipliers(AG, free, keep, act_rows, alphaL, M: int):
 
     M1 = Ap @ Ap.T + jnp.diag(1.0 - km)
     M1 = (M1 + M1.T) / 2
-    Lm = _chol(M1, lower=True)
-    X = cho_solve((Lm, True), Ap @ Gp.T)  # (R, J)
+    X = spd_solve(M1, Ap @ Gp.T)  # (R, J)
     recovered = X.T @ (km * alphaL)  # (J,)
 
     kept_ineq = keep[M:]

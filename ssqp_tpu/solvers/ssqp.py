@@ -29,7 +29,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ssqp_tpu.ops.kkt import kkt_solve, recover_dropped_multipliers
+from ssqp_tpu.ops.kkt import kkt_solve, kkt_solve_cg, recover_dropped_multipliers
 from ssqp_tpu.ops.masked_gj import masked_gj_purge
 from ssqp_tpu.types import DN, EO, IN, OE, QP, UP, Result, Settings
 from ssqp_tpu.utils.precision import highest_matmul
@@ -79,7 +79,7 @@ def _free_k(z, Sx, V, q, tol):
 @highest_matmul
 def solve_qp_loop(
     Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None,
-    mf_flag=None, max_iter=None,
+    mf_flag=None, max_iter=None, cg_iters=None,
 ) -> Result:
     """Run the S-loop from a warm start (reference solveQP(Q, S, x0),
     SSQP.jl:237-377). ``Sx0``/``Se0`` are int8 status arrays, ``x0`` a feasible
@@ -101,6 +101,9 @@ def solve_qp_loop(
     )
     max_it = jnp.asarray(
         settings.max_iter if max_iter is None else max_iter, jnp.int32
+    )
+    cg_it = jnp.asarray(
+        settings.cg_iters if cg_iters is None else cg_iters, jnp.int32
     )
 
     AG = jnp.concatenate([A, G], axis=0) if J > 0 else A
@@ -134,7 +137,11 @@ def solve_qp_loop(
         # expires the loop is exactly the reference algorithm.
         aggr = mf_v & (it <= N + J + 16)
 
-        res = kkt_solve(V, q, AG, bg, z, free, keep)
+        if settings.kkt_cg:
+            res = kkt_solve_cg(V, q, AG, bg, z, free, keep,
+                               cg_it, settings.cg_rtol)
+        else:
+            res = kkt_solve(V, q, AG, bg, z, free, keep)
         alpha, p, gamma = res.alpha, res.p, res.gamma
         # An inconsistent working system is a numerical error in reference
         # semantics (SSQP.jl:310-319). Aggressive row activation can
@@ -228,7 +235,9 @@ def solve_qp_loop(
         # single least-index event at degenerate steps (Bland-style) breaks
         # such cycles. With multi_free=False ties flip together exactly like
         # the reference (SSQP.jl:98-127).
-        degen = mf & (L1 <= tol)
+        # Only active after the aggressive window: within it, degenerate
+        # multi-flips are part of the speed and any cycle dies at expiry.
+        degen = mf & ~aggr & (L1 <= tol)
         ev_all = fl_up_e | fl_dn_e
         first_ev = jnp.argmax(ev_all)
         single = jnp.arange(N) == first_ev
@@ -246,17 +255,30 @@ def solve_qp_loop(
         cl_up = free & fu & (alpha > u)
         cl_dn = free & fd & (alpha < d)
         kcap = jnp.maximum(K - (M + J + 1), 0)
-        # prefix cap: pin the first kcap violating variables (cumsum mask —
-        # cheap and fixed-shape, no sort); the rest just clip their values
-        pin_ok = jnp.cumsum((cl_up | cl_dn).astype(jnp.int32)) <= kcap
+        # severity-ordered cap: the most-violated bounds pin first (an
+        # index-ordered prefix cap was tried and cycles badly — pinning the
+        # *wrong* subset sends the aggressive phase in circles)
+        sev = jnp.where(cl_up, alpha - u, jnp.where(cl_dn, d - alpha, -_BIG))
+        order = jnp.argsort(-sev)
+        rank = jnp.zeros((N,), jnp.int32).at[order].set(
+            jnp.arange(N, dtype=jnp.int32))
+        pin_ok = rank < kcap
         zG = jnp.where(cl_up, u, jnp.where(cl_dn, d, alpha))
         zG = jnp.where(free, zG, z)
         cl_up = cl_up & pin_ok
         cl_dn = cl_dn & pin_ok
 
-        fl_up = jnp.where(aggr, cl_up, fl_up_e)
-        fl_dn = jnp.where(aggr, cl_dn, fl_dn_e)
-        zA = jnp.where(aggr, zG, zE)
+        # The clip step converges in ~10 iterations when its pin guesses are
+        # right, but the equality-infeasible intermediate states it creates
+        # send a third of instances into orbits the exact machinery cannot
+        # reliably recover from (measured on the N=256 frontier batch:
+        # 97/256 solved with clipping vs 256/256 without, while the release
+        # policy alone already cuts iterations ~4x). Off by default;
+        # Settings.clip_step re-enables it for experimentation.
+        aggr_clip = aggr & jnp.asarray(settings.clip_step, bool) & (it <= 12)
+        fl_up = jnp.where(aggr_clip, cl_up, fl_up_e)
+        fl_dn = jnp.where(aggr_clip, cl_dn, fl_dn_e)
+        zA = jnp.where(aggr_clip, zG, zE)
         SxA = jnp.where(fl_up, UP, jnp.where(fl_dn, DN, Sx)).astype(Sx.dtype)
         if J > 0:
             act_e = row_ev & (L_row <= L1 + tol)
@@ -268,7 +290,7 @@ def solve_qp_loop(
                 jnp.where(degen, act_e & first_row, act_e),
             )
             act_g = Og & (G @ zA > g + tol)
-            SeA = jnp.where(jnp.where(aggr, act_g, act_e), EO, Se).astype(Se.dtype)
+            SeA = jnp.where(jnp.where(aggr_clip, act_g, act_e), EO, Se).astype(Se.dtype)
         else:
             SeA = Se
 
@@ -366,12 +388,16 @@ def solve_qp_warm2(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> 
         return solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=pre_status)
     cap = min(settings.max_iter, Q.N + Q.J + 64)
     r1 = solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=pre_status,
-                       mf_flag=True, max_iter=cap)
+                       mf_flag=True, max_iter=cap,
+                       cg_iters=settings.cg_iters)
     ok1 = r1.status > 0
     pre = jnp.asarray(1 if pre_status is None else pre_status, jnp.int32)
     pre2 = jnp.where(ok1, jnp.asarray(-9, jnp.int32), pre)
+    # exact pass: reference stepping semantics + a 4x CG budget, so an
+    # instance that failed on solver noise gets a higher-accuracy retry
     r2 = solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=pre2,
-                       mf_flag=False, max_iter=settings.max_iter)
+                       mf_flag=False, max_iter=settings.max_iter,
+                       cg_iters=4 * settings.cg_iters)
     x = jnp.where(ok1, r1.x, r2.x)
     S = jnp.where(ok1, r1.S, r2.S)
     status = jnp.where(ok1, r1.status, r2.status).astype(jnp.int32)

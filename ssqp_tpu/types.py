@@ -89,13 +89,26 @@ class Settings:
     # iterations for anti-cycling). Fixed-price full-shape iterations make
     # this strictly cheaper on TPU; disable for exact reference semantics.
     multi_free: bool = True
+    # Experimental: projected clipped full steps in the first iterations
+    # (pins every violated bound at once). Fast when its guesses are right
+    # but cycle-prone through infeasible intermediates; off by default.
+    clip_step: bool = False
+    # Solve the padded free-variable system by Jacobi-preconditioned CG
+    # (factorization-free, pure MXU matvecs — on TPU this removes the
+    # N-sequential dependency that makes batched Cholesky the entire
+    # iteration cost). The exact fallback pass runs 4x the iterations;
+    # set False for direct Cholesky solves.
+    kkt_cg: bool = True
+    cg_iters: int = 128
+    cg_rtol: float = 1e-14  # must sit well below tolG; see for_dtype
 
     @staticmethod
     def for_dtype(dtype) -> "Settings":
         dtype = jnp.dtype(dtype)
         if dtype == jnp.float32:
             # f32 eps ~ 1.19e-7; reference f64 tolerances are unreachable.
-            return Settings(tol=2.0**-16, tolG=2.0**-20, dtype=jnp.float32)
+            return Settings(tol=2.0**-16, tolG=2.0**-20, dtype=jnp.float32,
+                            cg_iters=64, cg_rtol=1e-7)
         return Settings(dtype=dtype)
 
 
