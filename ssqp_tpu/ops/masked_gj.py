@@ -83,6 +83,77 @@ def masked_gj_purge(A: jax.Array, b: jax.Array, row_mask: jax.Array, tol):
     return keep, inconsistent, bad_rows
 
 
+def masked_gj_purge_col(A: jax.Array, b: jax.Array, row_mask: jax.Array, tol):
+    """Column-pivoted flavor of :func:`masked_gj_purge` (reference
+    `getRowsGJ`, utils.jl:2-45): sweep columns left to right, the pivot row
+    of column j is the max-|entry| among still-unused active rows. The
+    reference's `Settings.pivot` selects between the two flavors; they keep
+    different (equally valid) independent row subsets on rank-deficient
+    input.
+
+    Returns (keep, inconsistent, bad_rows) like :func:`masked_gj_purge`.
+    """
+    R, C = A.shape
+    dtype = A.dtype
+    rm = row_mask.astype(dtype)
+    E = jnp.concatenate([A * rm[:, None], (b * rm)[:, None]], axis=1)
+
+    def col_step(j, carry):
+        E, keep = carry
+        colv = jnp.abs(E[:, j]) * jnp.where(keep, 0.0, rm)  # unused rows only
+        i = jnp.argmax(colv)
+        piv_ok = colv[i] > tol
+        piv = E[i]
+        denom = jnp.where(piv_ok, piv[j], jnp.ones((), dtype))
+        r = piv / denom
+        factors = jnp.where(piv_ok, E[:, j], jnp.zeros((), dtype))
+        factors = factors.at[i].set(0.0)
+        E = E - factors[:, None] * r[None, :]
+        E = E.at[i].set(jnp.where(piv_ok, r, piv))
+        keep = keep.at[i].set(keep[i] | piv_ok)
+        return E, keep
+
+    keep0 = jnp.zeros((R,), dtype=bool)
+    E, keep = jax.lax.fori_loop(0, C, col_step, (E, keep0))
+    dropped = row_mask & ~keep
+    bad_rows = dropped & (jnp.abs(E[:, -1]) > tol)
+    return keep, jnp.any(bad_rows), bad_rows
+
+
+def independent_rows_gs(A: jax.Array, row_mask: jax.Array, tol):
+    """Greedy independent-row subset via modified Gram-Schmidt.
+
+    Fixed-shape stand-in for the reference's rank-revealing pivoted-QR
+    helpers `getRowsQR`/`getColumnsQR` (utils.jl:129-155): a row is kept iff
+    its residual after projection onto the span of previously kept rows
+    exceeds ``tol`` in norm. (JAX has no pivoted QR; greedy MGS keeps the
+    same kind of well-conditioned subset.) Returns a bool keep mask; use on
+    ``A.T`` for independent columns.
+    """
+    R, C = A.shape
+    dtype = A.dtype
+    rm = row_mask.astype(dtype)
+
+    def step(i, carry):
+        Q, keep = carry  # Q holds orthonormalized kept rows (zero otherwise)
+        v = A[i] * rm[i]
+        proj = Q @ v  # (R,) coefficients against kept rows
+        v = v - Q.T @ proj
+        # re-orthogonalize once for numerical robustness
+        v = v - Q.T @ (Q @ v)
+        nrm = jnp.sqrt(jnp.sum(v * v))
+        ok = (nrm > tol) & row_mask[i]
+        qrow = jnp.where(ok, v / jnp.where(nrm > 0, nrm, 1.0), jnp.zeros_like(v))
+        Q = Q.at[i].set(qrow)
+        keep = keep.at[i].set(ok)
+        return Q, keep
+
+    Q0 = jnp.zeros((R, C), dtype)
+    keep0 = jnp.zeros((R,), bool)
+    _, keep = jax.lax.fori_loop(0, R, step, (Q0, keep0))
+    return keep
+
+
 def masked_row_rank(A: jax.Array, row_mask: jax.Array, tol):
     """Number of independent active rows of A (masked rank)."""
     rm = row_mask.astype(A.dtype)

@@ -147,3 +147,50 @@ def init_qp_traced(Q: QP, settings: Settings):
 def init_qp(Q: QP, settings: Settings):
     """Host-convenience Phase-1 (reference initQP, SSQP.jl:461-560)."""
     return init_qp_traced(Q, settings)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def init_ssqp_traced(Q: QP, settings: Settings):
+    """Simpler Phase-1 requiring finite lower bounds (reference initSSQP,
+    SSQP.jl:386-453, used by the EfficientFrontier sister package): no
+    free-variable split or sign flip — columns are just
+    [originals | G slacks | +-identity artificials]. Returns
+    (x0, Sx, Se, status) with status 1 feasible / 0 infeasible / -1 error.
+    """
+    N, M, J = Q.N, Q.M, Q.J
+    dtype = Q.V.dtype
+    Ms = M + J
+    Ns = N + J
+    AG = jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A
+    bs = jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b
+    slackA = (
+        jnp.concatenate([jnp.zeros((M, J), dtype), jnp.eye(J, dtype=dtype)], axis=0)
+        if J > 0 else jnp.zeros((Ms, 0), dtype)
+    )
+    As = jnp.concatenate([AG, slackA], axis=1)
+    ds = jnp.concatenate([Q.d, jnp.zeros((J,), dtype)])
+    us = jnp.concatenate([Q.u, jnp.full((J,), jnp.inf, dtype)])
+
+    q0 = As @ ds
+    sigma = jnp.where(bs >= q0, 1.0, -1.0).astype(dtype)
+    A1 = jnp.concatenate([As, jnp.diag(sigma)], axis=1)
+    c1 = jnp.concatenate([jnp.zeros((Ns,), dtype), jnp.ones((Ms,), dtype)])
+    d1 = jnp.concatenate([ds, jnp.zeros((Ms,), dtype)])
+    u1 = jnp.concatenate([us, jnp.full((Ms,), jnp.inf, dtype)])
+    B0 = Ns + jnp.arange(Ms, dtype=jnp.int32)
+    S0 = jnp.full((Ns + Ms,), DN, jnp.int8).at[B0].set(IN)
+    real = jnp.ones((Ns + Ms,), bool)
+
+    lp_status, x1, B1, S1, _ = bounded_simplex(
+        c1, A1, bs, d1, u1, B0, S0, d1, real,
+        tol=settings.tol, max_iter=settings.max_iter, rule=settings.rule,
+    )
+    f_art = jnp.sum(x1[Ns:])
+    x0 = x1[:N]
+    Sx = S1[:N]
+    Se = (jnp.where(S1[N:Ns] == IN, OE, EO).astype(jnp.int8)
+          if J > 0 else jnp.zeros((0,), jnp.int8))
+    status = jnp.where(
+        lp_status < 0, -1, jnp.where(f_art > settings.tol, 0, 1)
+    ).astype(jnp.int32)
+    return x0, Sx, Se, status

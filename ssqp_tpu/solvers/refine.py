@@ -103,8 +103,26 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2) -> Res
 
     s64, resid = jax.lax.scan(sweep64, s.astype(jnp.float64), None, length=iters)
     x_ref = s64[:N]
-    ok = (res.status > 0) & jnp.all(jnp.isfinite(x_ref))
-    x_out = jnp.where(ok, x_ref, res.x.astype(x_ref.dtype))
+
+    # Acceptance guard: the refined point solves the LABELED active set
+    # exactly, so a single borderline mislabeled row (polish snaps statuses
+    # within tol) can displace it far from the optimum. Accept only if the
+    # refined point stays primal-feasible and does not worsen the objective
+    # — otherwise return the searched point untouched.
+    x_old = res.x.astype(jnp.float64)
+    V64 = Q.V.astype(jnp.float64)
+    q64 = Q.q.astype(jnp.float64)
+    fobj = lambda xx: 0.5 * xx @ (V64 @ xx) + q64 @ xx
+    ftol = jnp.asarray(jnp.sqrt(settings.tol), jnp.float64)
+    feas = jnp.all(jnp.isfinite(x_ref))
+    if M > 0:
+        feas &= jnp.max(jnp.abs(Q.A.astype(jnp.float64) @ x_ref - Q.b)) <= ftol
+    if J > 0:
+        feas &= jnp.max(Q.G.astype(jnp.float64) @ x_ref - Q.g) <= ftol
+    feas &= jnp.all(x_ref >= Q.d - ftol) & jnp.all(x_ref <= Q.u + ftol)
+    better = fobj(x_ref) <= fobj(x_old) + ftol
+    ok = (res.status > 0) & feas & better
+    x_out = jnp.where(ok, x_ref, x_old)
     return Result(x_out, res.S, res.status)
 
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ssqp_tpu.ops.kkt import kkt_solve, kkt_solve_cg, recover_dropped_multipliers
-from ssqp_tpu.ops.masked_gj import masked_gj_purge
+from ssqp_tpu.ops.masked_gj import masked_gj_purge, masked_gj_purge_col
 from ssqp_tpu.types import DN, EO, IN, OE, QP, UP, Result, Settings
 from ssqp_tpu.utils.precision import highest_matmul
 
@@ -127,7 +127,11 @@ def solve_qp_loop(
         act = jnp.concatenate([jnp.ones((M,), bool), Se == EO]) if J > 0 else jnp.ones((M,), bool)
         bE = bg - AG @ (z * (1.0 - fm))
         if R > 0:
-            keep, inconsistent, bad_rows = masked_gj_purge(AG * fm[None, :], bE, act, tol)
+            # Settings.pivot selects the redundancy-purge flavor
+            # (reference getRowsGJr row pivoting vs getRowsGJ column
+            # pivoting, utils.jl:2-86)
+            purge = masked_gj_purge if settings.pivot == "row" else masked_gj_purge_col
+            keep, inconsistent, bad_rows = purge(AG * fm[None, :], bE, act, tol)
         else:
             keep, inconsistent, bad_rows = (
                 jnp.ones((0,), bool), jnp.asarray(False), jnp.ones((0,), bool)
@@ -434,24 +438,84 @@ def solve_qp(
     return solve_qp_warm2(Q, Sx0, Se0, x0, settings)
 
 
+def _guess_start(Q: QP, settings: Settings):
+    """Active-set guess: solve the equality-only QP (bounds ignored) and clip
+    into the box — the clipped coordinates' statuses are usually most of the
+    optimal active set, so the S-loop started here converges in a handful of
+    iterations instead of O(#IN) from a Phase-1 vertex. Purely a heuristic:
+    the caller validates the outcome and falls back to Phase-1."""
+    N, M, J = Q.N, Q.M, Q.J
+    dtype = Q.V.dtype
+    AG = jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A
+    bg = jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b
+    all_free = jnp.ones((N,), bool)
+    eq_keep = jnp.concatenate(
+        [jnp.ones((M,), bool), jnp.zeros((J,), bool)]
+    ) if J > 0 else jnp.ones((M,), bool)
+    res = kkt_solve_cg(
+        Q.V, Q.q, AG, bg, jnp.zeros((N,), dtype), all_free, eq_keep,
+        jnp.asarray(settings.cg_iters, jnp.int32), settings.cg_rtol,
+    )
+    z_uc = res.alpha
+    lo = jnp.isfinite(Q.d) & (z_uc <= Q.d)
+    hi = jnp.isfinite(Q.u) & (z_uc >= Q.u)
+    z0 = jnp.clip(z_uc, Q.d, Q.u)
+    Sx = jnp.where(lo, DN, jnp.where(hi, UP, IN)).astype(jnp.int8)
+    Se = jnp.full((J,), OE, jnp.int8)
+    return z0, Sx, Se
+
+
+def _primal_feasible(Q: QP, x, ftol):
+    ok = jnp.all(jnp.isfinite(x))
+    if Q.M > 0:
+        ok = ok & (jnp.max(jnp.abs(Q.A @ x - Q.b)) <= ftol)
+    if Q.J > 0:
+        ok = ok & (jnp.max(Q.G @ x - Q.g) <= ftol)
+    ok = ok & jnp.all(x >= Q.d - ftol) & jnp.all(x <= Q.u + ftol)
+    return ok
+
+
 @partial(jax.jit, static_argnames=("settings", "settings_lp"))
 @highest_matmul
 def solve_qp_auto(Q: QP, settings: Settings, settings_lp: Optional[Settings] = None) -> Result:
-    """Fully-traced Phase-1 + S-loop (reference solveQP(Q::QP), SSQP.jl:224-234).
+    """Fully-traced auto solve (reference solveQP(Q::QP), SSQP.jl:224-234).
 
     Jit-compatible end to end, so it `vmap`s over instance batches and
-    `shard_map`s over device meshes: an infeasible Phase-1 short-circuits the
-    S-loop through its ``pre_status`` flag rather than a host branch.
-    Two-loop strategy when ``settings.multi_free`` is on: a fast
-    aggressive loop with a capped iteration budget first, then — only for
-    instances it failed to converge (cycling is possible once feasibility is
-    traded away, see solve_qp_loop) — an exact reference-semantics loop from
-    the same Phase-1 state (monotone and feasible throughout). Converged
-    instances pass through the second `lax.while_loop` with their done flag
-    already set, so in a batch the fallback costs only what the stragglers
-    need.
+    `shard_map`s over device meshes. Three-stage strategy (all stages share
+    ONE compiled loop body via traced flags; a finished instance passes
+    through later `lax.while_loop`s with its done flag already set):
+
+      1. guess pass — S-loop from the clipped equality-only solution
+         (:func:`_guess_start`); accepted only if the result converged AND is
+         primally feasible (the guess start cannot certify feasibility);
+      2. fast pass — Phase-1 simplex start + aggressive multi-free loop
+         (capped iterations);
+      3. exact pass — reference-semantics loop from the same Phase-1 state
+         with a 4x CG budget, for anything still unconverged.
     """
     from ssqp_tpu.solvers.phase1 import init_qp_traced
 
+    dtype = Q.V.dtype
+    if not settings.multi_free:
+        x0, Sx0, Se0, st1 = init_qp_traced(Q, settings_lp or settings)
+        return solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=st1)
+
+    cap = min(settings.max_iter, Q.N + Q.J + 64)
+    # The guess start either converges almost immediately (loose bounds:
+    # the clipped set IS the active set) or churns (tight bounds pin far too
+    # much) — so give it a short budget and fail over quickly.
+    guess_cap = min(cap, 16)
+    zg, Sxg, Seg = _guess_start(Q, settings)
+    rg = solve_qp_loop(Q, Sxg, Seg, zg, settings,
+                       mf_flag=True, max_iter=guess_cap,
+                       cg_iters=settings.cg_iters)
+    ftol = jnp.asarray(10.0 * settings.tol, dtype)
+    okg = (rg.status > 0) & _primal_feasible(Q, rg.x, ftol)
+
     x0, Sx0, Se0, st1 = init_qp_traced(Q, settings_lp or settings)
-    return solve_qp_warm2(Q, Sx0, Se0, x0, settings, pre_status=st1)
+    pre1 = jnp.where(okg, jnp.asarray(-9, jnp.int32), st1)
+    r2 = solve_qp_warm2(Q, Sx0, Se0, x0, settings, pre_status=pre1)
+    x = jnp.where(okg, rg.x, r2.x)
+    S = jnp.where(okg, rg.S, r2.S)
+    status = jnp.where(okg, rg.status, r2.status).astype(jnp.int32)
+    return Result(x, S, status)

@@ -116,3 +116,36 @@ def test_vmap_purge():
     keep, inc = f(jnp.asarray(A), jnp.asarray(b))
     assert not bool(inc.any())
     assert (np.asarray(keep).sum(axis=1) == 4).all()
+
+
+def test_column_pivot_flavor():
+    # column-pivoted purge (reference getRowsGJ): same keep-count on full
+    # rank, detects inconsistency identically
+    from ssqp_tpu.ops.masked_gj import masked_gj_purge_col
+
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((4, 6))
+    b = A @ rng.standard_normal(6)
+    keep, inc, bad = masked_gj_purge_col(
+        jnp.asarray(A), jnp.asarray(b), jnp.ones(4, bool), TOL)
+    assert keep.sum() == 4 and not bool(inc)
+    # duplicated inconsistent row
+    A2 = np.vstack([A, A[0]])
+    b2 = np.concatenate([b, [b[0] + 1.0]])
+    keep, inc, bad = masked_gj_purge_col(
+        jnp.asarray(A2), jnp.asarray(b2), jnp.ones(5, bool), TOL)
+    assert bool(inc) and int(keep.sum()) == 4
+
+
+def test_independent_rows_gs():
+    from ssqp_tpu.ops.masked_gj import independent_rows_gs
+
+    rng = np.random.default_rng(6)
+    A = rng.standard_normal((5, 8))
+    A[3] = 2.0 * A[1] - A[0]  # dependent row
+    keep = independent_rows_gs(jnp.asarray(A), jnp.ones(5, bool), 1e-9)
+    assert int(keep.sum()) == 4 and not bool(keep[3])
+    # masked-out rows are never kept
+    mask = jnp.asarray([True, True, False, True, True])
+    keep = independent_rows_gs(jnp.asarray(A), mask, 1e-9)
+    assert not bool(keep[2])

@@ -121,3 +121,31 @@ def test_auto_jit_traced():
     res = solve_qp_auto(Q, settings=Settings())
     assert int(res.status) > 0
     np.testing.assert_allclose(np.asarray(res.x), gp.x_opt, atol=1e-6)
+
+
+def test_init_ssqp_feasible():
+    # simpler finite-lower-bound Phase-1 (reference initSSQP, SSQP.jl:386-453)
+    from ssqp_tpu.solvers.phase1 import init_ssqp_traced
+
+    rng = np.random.default_rng(3)
+    N = 8
+    H = rng.standard_normal((N, N))
+    V = H @ H.T / N + 0.5 * np.eye(N)
+    G = rng.standard_normal((2, N))
+    x_feas = rng.uniform(0.1, 0.3, N)
+    Q = make_qp(V, None, np.ones((1, N)), [float(x_feas.sum())],
+                G=G, g=G @ x_feas + 0.5, u=np.full(N, 1.0))
+    x0, Sx, Se, st = init_ssqp_traced(Q, Settings())
+    assert int(st) == 1
+    x0 = np.asarray(x0)
+    assert abs(x0.sum() - x_feas.sum()) < 1e-8
+    assert (np.asarray(Q.G) @ x0 <= np.asarray(Q.g) + 1e-8).all()
+    assert (x0 >= -1e-12).all() and (x0 <= 1.0 + 1e-12).all()
+
+
+def test_init_ssqp_infeasible():
+    from ssqp_tpu.solvers.phase1 import init_ssqp_traced
+
+    Q = make_qp(np.eye(3), None, np.ones((1, 3)), [10.0], u=np.ones(3))
+    *_, st = init_ssqp_traced(Q, Settings())
+    assert int(st) == 0
