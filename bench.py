@@ -29,7 +29,7 @@ def main():
     from ssqp_tpu.parallel.batch import frontier_batch, solve_qp_batch
 
     N = int(os.environ.get("BENCH_N", 256))
-    batch = int(os.environ.get("BENCH_BATCH", 512))
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
     reps = int(os.environ.get("BENCH_REPS", 5))
     dtype = jnp.float32
 

@@ -438,31 +438,37 @@ def solve_qp(
     return solve_qp_warm2(Q, Sx0, Se0, x0, settings)
 
 
-def _guess_start(Q: QP, settings: Settings):
-    """Active-set guess: solve the equality-only QP (bounds ignored) and clip
-    into the box — the clipped coordinates' statuses are usually most of the
-    optimal active set, so the S-loop started here converges in a handful of
-    iterations instead of O(#IN) from a Phase-1 vertex. Purely a heuristic:
-    the caller validates the outcome and falls back to Phase-1."""
+def _guess_start(Q: QP, settings: Settings, rounds: int = 3):
+    """Active-set guess by projected-Newton identification: solve the
+    equality-constrained QP with the current pinned set, clip the solution
+    into the box, pin the newly clipped coordinates, repeat a few rounds.
+    One round recovers the loose-bound active set; the extra rounds matter
+    for tight boxes, where pinning shifts the remaining coordinates enough
+    to violate further bounds. Pins only accumulate (the S-loop's release
+    machinery unpins any that were wrong). Purely a heuristic: the caller
+    validates the outcome and falls back to Phase-1."""
     N, M, J = Q.N, Q.M, Q.J
     dtype = Q.V.dtype
     AG = jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A
     bg = jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b
-    all_free = jnp.ones((N,), bool)
     eq_keep = jnp.concatenate(
         [jnp.ones((M,), bool), jnp.zeros((J,), bool)]
     ) if J > 0 else jnp.ones((M,), bool)
-    res = kkt_solve_cg(
-        Q.V, Q.q, AG, bg, jnp.zeros((N,), dtype), all_free, eq_keep,
-        jnp.asarray(settings.cg_iters, jnp.int32), settings.cg_rtol,
-    )
-    z_uc = res.alpha
-    lo = jnp.isfinite(Q.d) & (z_uc <= Q.d)
-    hi = jnp.isfinite(Q.u) & (z_uc >= Q.u)
-    z0 = jnp.clip(z_uc, Q.d, Q.u)
-    Sx = jnp.where(lo, DN, jnp.where(hi, UP, IN)).astype(jnp.int8)
+    cg_it = jnp.asarray(settings.cg_iters, jnp.int32)
+
+    Sx = jnp.full((N,), IN, jnp.int8)
+    z = jnp.zeros((N,), dtype)
+    for _ in range(rounds):
+        free = Sx == IN
+        res = kkt_solve_cg(Q.V, Q.q, AG, bg, z, free, eq_keep,
+                           cg_it, settings.cg_rtol)
+        alpha = res.alpha
+        lo = free & jnp.isfinite(Q.d) & (alpha <= Q.d)
+        hi = free & jnp.isfinite(Q.u) & (alpha >= Q.u)
+        Sx = jnp.where(lo, DN, jnp.where(hi, UP, Sx)).astype(jnp.int8)
+        z = jnp.clip(alpha, Q.d, Q.u)
     Se = jnp.full((J,), OE, jnp.int8)
-    return z0, Sx, Se
+    return z, Sx, Se
 
 
 def _primal_feasible(Q: QP, x, ftol):

@@ -111,3 +111,21 @@ def test_warm_start_from_wrong_active_set():
     res = warm(Q, gp.x_opt, Sx0)
     assert int(res.status) > 0
     np.testing.assert_allclose(np.asarray(res.x), gp.x_opt, atol=1e-7)
+
+
+def test_kkt_report_diagnostics():
+    # observability: batched device-resident KKT report (SURVEY.md §5)
+    from ssqp_tpu.parallel.batch import solve_qp_batch, stack_qps
+    from ssqp_tpu.utils.diagnostics import kkt_report
+
+    gens = [generate_qp_known_opt(seed=s, N=10, M=2, J=3) for s in range(3)]
+    Qb = stack_qps([
+        make_qp(g.V, g.q, g.A, g.b, G=g.G, g=g.g, d=g.d, u=g.u)
+        for g in gens
+    ])
+    res = solve_qp_batch(Qb, Settings())
+    rep = kkt_report(Qb, res, batched=True)
+    assert rep.solved.all()
+    assert float(np.max(np.asarray(rep.feas_eq))) < 1e-8
+    assert float(np.max(np.asarray(rep.stationarity))) < 1e-6
+    assert (np.asarray(rep.iters) > 0).all()
