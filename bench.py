@@ -29,7 +29,7 @@ def main():
     from ssqp_tpu.parallel.batch import frontier_batch, solve_qp_batch
 
     N = int(os.environ.get("BENCH_N", 256))
-    batch = int(os.environ.get("BENCH_BATCH", 4096))
+    batch = int(os.environ.get("BENCH_BATCH", 8192))
     reps = int(os.environ.get("BENCH_REPS", 3))
     dtype = jnp.float32
 

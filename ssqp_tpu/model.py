@@ -297,3 +297,57 @@ class Model:
 
     def raw_status(self) -> str:
         return str(int(self._result.status)) if self._result is not None else "?"
+
+    def dual_status(self) -> str:
+        """Duals are not produced (reference parity: ConstraintDual and
+        DualObjectiveValue are unsupported and DualStatus is reported as
+        FEASIBLE_POINT, MOIwrapper.jl:186-192, 255-257)."""
+        return FEASIBLE_POINT if self._result is not None else NO_SOLUTION
+
+    def __repr__(self) -> str:  # reference Base.show, MOIwrapper.jl:71-88
+        n_eq = sum(1 for k, *_ in self._rows if k == "eq")
+        n_ineq = len(self._rows) - n_eq
+        return (f"ssqp_tpu.Model({self.n} variables, {n_eq} equalities, "
+                f"{n_ineq} inequality rows, status={self.termination_status()})")
+
+    # ---- problem <-> model round trip (reference QP2MOI/LP2MOI,
+    # MOIwrapper.jl:461-509, 380-419) -----------------------------------
+    @classmethod
+    def from_problem(cls, P, *, sense: str = "min") -> "Model":
+        """Build a Model from an existing LP/QP pytree (reverse direction of
+        ``optimize``'s assembly; reference QP2MOI / LP2MOI)."""
+        m = cls()
+        N = P.N
+        d = np.asarray(P.d, float)
+        u = np.asarray(P.u, float)
+        for i in range(N):
+            m.add_variable(d[i], u[i])
+        A = np.asarray(P.A, float)
+        b = np.asarray(P.b, float)
+        for r in range(P.M):
+            m.add_eq({i: A[r, i] for i in range(N) if A[r, i] != 0.0}, b[r])
+        G = np.asarray(P.G, float)
+        g = np.asarray(P.g, float)
+        for r in range(P.J):
+            m.add_le({i: G[r, i] for i in range(N) if G[r, i] != 0.0}, g[r])
+        if isinstance(P, QP):
+            V = np.asarray(P.V, float)
+            # assembly does V[i,j] += v/2 and V[j,i] += v/2, so a diagonal
+            # entry lands twice in the same cell (-> v) and an off-diagonal
+            # one splits across the two cells (-> v/2 each): emit V_ii and
+            # 2*V_ij respectively for an exact round trip
+            quad = {(i, j): (V[i, j] if i == j else 2.0 * V[i, j])
+                    for i in range(N) for j in range(i, N)
+                    if V[i, j] != 0.0}
+            lin = {i: float(np.asarray(P.q)[i]) for i in range(N)
+                   if float(np.asarray(P.q)[i]) != 0.0}
+        else:
+            quad = None
+            lin = {i: float(np.asarray(P.c)[i]) for i in range(N)
+                   if float(np.asarray(P.c)[i]) != 0.0}
+        m.set_objective(quad=quad, lin=lin, sense=sense)
+        return m
+
+    def to_problem(self):
+        """Assemble and return the underlying LP/QP pytree without solving."""
+        return self._assemble()

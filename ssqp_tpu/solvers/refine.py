@@ -90,8 +90,9 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2) -> Res
     # float64 residuals when x64 is enabled (CPU / conformance runs); on a
     # TPU with x64 off this degrades gracefully to working-precision
     # refinement, which still removes the factorization's forward error.
-    K64 = K.astype(jnp.float64)
-    rhs64 = rhs.astype(jnp.float64)
+    hi = jnp.float64 if jax.config.jax_enable_x64 else dtype
+    K64 = K.astype(hi)
+    rhs64 = rhs.astype(hi)
 
     # accumulate the refined solution in the residual dtype so the extra
     # accuracy is not thrown away by an f32 output cast (BigFloat-tier
@@ -99,9 +100,9 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2) -> Res
     def sweep64(s64, _):
         r64 = rhs64 - K64 @ s64
         e = lu_solve(lufac, r64.astype(dtype))
-        return s64 + e.astype(jnp.float64), jnp.max(jnp.abs(r64))
+        return s64 + e.astype(hi), jnp.max(jnp.abs(r64))
 
-    s64, resid = jax.lax.scan(sweep64, s.astype(jnp.float64), None, length=iters)
+    s64, resid = jax.lax.scan(sweep64, s.astype(hi), None, length=iters)
     x_ref = s64[:N]
 
     # Acceptance guard: the refined point solves the LABELED active set
@@ -109,16 +110,16 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2) -> Res
     # within tol) can displace it far from the optimum. Accept only if the
     # refined point stays primal-feasible and does not worsen the objective
     # — otherwise return the searched point untouched.
-    x_old = res.x.astype(jnp.float64)
-    V64 = Q.V.astype(jnp.float64)
-    q64 = Q.q.astype(jnp.float64)
+    x_old = res.x.astype(hi)
+    V64 = Q.V.astype(hi)
+    q64 = Q.q.astype(hi)
     fobj = lambda xx: 0.5 * xx @ (V64 @ xx) + q64 @ xx
-    ftol = jnp.asarray(jnp.sqrt(settings.tol), jnp.float64)
+    ftol = jnp.asarray(jnp.sqrt(settings.tol), hi)
     feas = jnp.all(jnp.isfinite(x_ref))
     if M > 0:
-        feas &= jnp.max(jnp.abs(Q.A.astype(jnp.float64) @ x_ref - Q.b)) <= ftol
+        feas &= jnp.max(jnp.abs(Q.A.astype(hi) @ x_ref - Q.b)) <= ftol
     if J > 0:
-        feas &= jnp.max(Q.G.astype(jnp.float64) @ x_ref - Q.g) <= ftol
+        feas &= jnp.max(Q.G.astype(hi) @ x_ref - Q.g) <= ftol
     feas &= jnp.all(x_ref >= Q.d - ftol) & jnp.all(x_ref <= Q.u + ftol)
     better = fobj(x_ref) <= fobj(x_old) + ftol
     ok = (res.status > 0) & feas & better

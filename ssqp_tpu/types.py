@@ -17,6 +17,11 @@ Status codes (reference types.jl:17-23, same integer values as the Julia enum):
     OE = 3  inequality row inactive (original `<=`)
     EO = 4  inequality row active (held as equality)
 
+The reference's `Event{T}` record (a status transition (From, To, id, L)
+collected into sorted queues, types.jl:39-44) has no analogue here by design:
+fixed-shape masked argmin / threshold masks replace event queues entirely
+(SURVEY.md §7 design translation).
+
 Solver status convention (reference SSQP.jl:205-209, Simplex.jl:826-828):
 
     > 0 success (iteration count), 1 unique / 2 infinitely-many for LP engines,

@@ -172,3 +172,31 @@ class TestModelMisc:
         m.optimize()
         assert m.solve_time >= 0.0
         assert m.iterations() >= 1
+
+
+class TestRoundTrip:
+    def test_qp_round_trip(self):
+        # problem -> Model -> problem -> solve gives the same optimum
+        # (reference QP2MOI/MOI2QP round trip, MOIwrapper.jl:461-509)
+        from ssqp_tpu.utils.problems import generate_qp_known_opt
+        from ssqp_tpu.types import QP, make_qp
+
+        g = generate_qp_known_opt(seed=3, N=8, M=2, J=2)
+        Q = make_qp(g.V, g.q, g.A, g.b, G=g.G, g=g.g, d=g.d, u=g.u)
+        m = Model.from_problem(Q)
+        P2 = m.to_problem()
+        assert isinstance(P2, QP)
+        np.testing.assert_allclose(np.asarray(P2.V), np.asarray(Q.V), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(P2.q), np.asarray(Q.q), atol=1e-12)
+        assert m.optimize() == OPTIMAL
+        np.testing.assert_allclose(m.values(), g.x_opt, atol=1e-6)
+
+    def test_lp_round_trip(self):
+        from ssqp_tpu.types import LP, make_lp
+
+        P = make_lp([-1.0, -2.0], G=[[1.0, 1.0]], g=[4.0], u=[3.0, 3.0])
+        m = Model.from_problem(P)
+        P2 = m.to_problem()
+        assert isinstance(P2, LP)
+        assert m.optimize() == OPTIMAL
+        np.testing.assert_allclose(m.values(), [1.0, 3.0], atol=1e-6)
