@@ -5,8 +5,12 @@ TPU-native re-design of the reference's pivot kernels and two-phase driver
 Simplex.jl:422-443: solve ``min c'x s.t. Ax=b, d<=x<=u`` (d finite, u may be
 +inf) from a starting basis B / status vector S, with bound-flip pivots
 (entering variable travels to its opposite bound, Simplex.jl:516-578) and the
-accuracy-first choice of re-factorizing the basis from scratch every pivot
-(Simplex.jl:590 uses an explicit inverse; here an LU factorization + solves).
+accuracy-first spirit of the reference's re-factorization every pivot
+(Simplex.jl:590 uses `inv(lu(.))`). A factorization inside `lax.while_loop`
+is pathologically slow on TPU, so the basis inverse is instead MAINTAINED:
+product-form rank-1 update at each exchange plus one Newton refinement step
+`invB <- invB (2I - A_B invB)` per iteration (two small GEMMs) that squares
+the inverse error — accuracy equivalent to refactorizing, at GEMM cost.
 
 Pivot rules (Settings.rule):
   * 'dantzig'        — Dantzig combined with the Largest-Distance rule
@@ -31,7 +35,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import lu_factor, lu_solve
 
 from ssqp_tpu.types import DN, IN, UP
 
@@ -42,6 +45,7 @@ class SimplexState(NamedTuple):
     B: jax.Array  # (R,) int32 basis column indices
     S: jax.Array  # (Nt,) int8 statuses (IN = basic)
     x: jax.Array  # (Nt,) values (basic entries refreshed each iteration)
+    invB: jax.Array  # (R, R) maintained basis inverse (see module docstring)
     it: jax.Array
     done: jax.Array
     status: jax.Array
@@ -70,12 +74,17 @@ def bounded_simplex(
     def body(st: SimplexState) -> SimplexState:
         B, S, x, it = st.B, st.S, st.x, st.it + 1
         in_basis = jnp.zeros((Nt,), bool).at[B].set(True)
+        # One Newton step keeps the maintained inverse at machine accuracy:
+        # invB <- invB (2I - A_B invB) squares the inverse error, undoing the
+        # drift of the rank-1 product-form updates below. Two small GEMMs —
+        # no factorization inside the loop (see module docstring).
         A_B = Amat[:, B]
-        lufac = lu_factor(A_B)
-        w = lu_solve(lufac, c[B], trans=1)  # A_B' w = c_B
+        invB = st.invB
+        invB = invB @ (2.0 * jnp.eye(R, dtype=dtype) - A_B @ invB)
+        w = invB.T @ c[B]  # A_B' w = c_B
         h = c - Amat.T @ w  # reduced costs (basic entries ~0)
         xn = jnp.where(in_basis, 0.0, x)
-        qv = lu_solve(lufac, b - Amat @ xn, trans=0)  # basic values
+        qv = invB @ (b - Amat @ xn)  # basic values
         xb = jnp.zeros((Nt,), dtype).at[B].set(qv)
         x2 = jnp.where(in_basis, xb, x)
 
@@ -91,11 +100,11 @@ def bounded_simplex(
             score = jnp.where(cand, ht / cA_safe, -_INF)
             k_rule = jnp.argmax(score)
         elif rule == "steepest_edge":
-            Y = lu_solve(lufac, Amat, trans=0)  # (R, Nt)
+            Y = invB @ Amat  # (R, Nt)
             se = ht * ht / (1.0 + jnp.sum(Y * Y, axis=0))
             k_rule = jnp.argmax(jnp.where(cand, se, -_INF))
         elif rule == "max_improvement":
-            Y = lu_solve(lufac, Amat, trans=0)  # (R, Nt) all candidate columns
+            Y = invB @ Amat  # (R, Nt) all candidate columns
             theta = _all_ratio(Y, qv, S, B, d, u, ud, fu, tol)
             k_rule = jnp.argmax(jnp.where(cand, jnp.abs(ht * theta), -_INF))
         else:
@@ -103,9 +112,10 @@ def bounded_simplex(
         k_bland = jnp.argmin(jnp.where(cand, arange, Nt + 1))
         k = jnp.where(bland, k_bland, k_rule).astype(jnp.int32)
 
-        p = lu_solve(lufac, Amat[:, k], trans=0)
+        p = invB @ Amat[:, k]
         numbad = ~(
             jnp.all(jnp.isfinite(w)) & jnp.all(jnp.isfinite(qv))
+            & jnp.all(jnp.isfinite(invB))
         ) | (anyc & ~jnp.all(jnp.isfinite(p)))
 
         # ---- ratio test (both entering directions, select by kd) --------------
@@ -140,6 +150,13 @@ def bounded_simplex(
 
         i_leave = B[l]
         B1 = B.at[l].set(jnp.where(do_pivot, k, B[l]))
+        # product-form inverse update for the basis exchange B[l] -> k:
+        # with y = invB a_k, invB' = invB - (y - e_l) invB[l, :] / y_l
+        # (O(R^2) elementwise; the Newton step above absorbs the drift)
+        e_l = (jnp.arange(R) == l).astype(dtype)
+        y_l = jnp.where(jnp.abs(p[l]) > 0, p[l], jnp.ones((), dtype))
+        invB_piv = invB - jnp.outer((p - e_l) / y_l, invB[l, :])
+        invB1 = jnp.where(do_pivot, invB_piv, invB)
         S1 = S.at[i_leave].set(jnp.where(do_pivot, Sl, S[i_leave]).astype(S.dtype))
         k_status = jnp.where(do_pivot, IN, jnp.where(kd, UP, DN))
         S1 = S1.at[k].set(
@@ -162,15 +179,19 @@ def bounded_simplex(
             -1,
             jnp.where(~anyc, status_opt, jnp.where(unbounded, 3, 0)),
         ).astype(jnp.int32)
-        return SimplexState(B1, S1, x1, it, done_n, status_n)
+        return SimplexState(B1, S1, x1, invB1, it, done_n, status_n)
 
     def cond(st: SimplexState):
         return (~st.done) & (st.it < max_iter)
 
+    # initial basis inverse computed OUTSIDE the loop (where XLA's solver
+    # primitives are fast); inside, the inverse is maintained incrementally
+    invB0 = jnp.linalg.inv(Amat[:, B0])
     st0 = SimplexState(
         B0.astype(jnp.int32),
         S0.astype(jnp.int8),
         x0.astype(dtype),
+        invB0.astype(dtype),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
         jnp.asarray(0, jnp.int32),
