@@ -29,7 +29,6 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import lu_factor, lu_solve
 
 from ssqp_tpu.ops.masked_gj import masked_independent_cols
 from ssqp_tpu.types import DN, IN, LP, OE, Result, Settings
@@ -40,9 +39,11 @@ _INF = jnp.inf
 
 
 class _CCState(NamedTuple):
+    B: jax.Array  # (R,) int32 basis column indices (unsorted positions)
     in_basis: jax.Array  # (Nt,) bool
     S: jax.Array  # (Nt,) int8
     xB: jax.Array  # (R,) last basic values
+    invB: jax.Array  # (R, R) maintained basis inverse
     it: jax.Array
     done: jax.Array
     status: jax.Array
@@ -64,6 +65,13 @@ def _init_basis(c1, A1, tol):
 def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
     """Run the least-index criss-cross loop on ``min c1'x, A1 x = b1, x >= 0``.
 
+    The basis inverse is MAINTAINED (product-form update per pivot + one
+    Newton refinement step per iteration) rather than re-factorized — a
+    factorization inside `lax.while_loop` is pathologically slow on TPU. The
+    basis is kept as unsorted positions; every least-index choice below
+    compares basis VALUES, so sortedness (the reference's `findall` order)
+    is not needed.
+
     Returns (status, x_full, S). ``ms_mask`` restricts the infinitely-many
     check to meaningful columns.
     """
@@ -74,14 +82,15 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
     arange = jnp.arange(Nt)
 
     def body(st: _CCState) -> _CCState:
-        in_basis, S, it = st.in_basis, st.S, st.it + 1
-        B = jnp.nonzero(in_basis, size=R, fill_value=0)[0].astype(jnp.int32)
+        B, in_basis, S, it = st.B, st.in_basis, st.S, st.it + 1
         A_B = A1[:, B]
-        lufac = lu_factor(A_B)
-        xB = lu_solve(lufac, b1)
-        w = lu_solve(lufac, c1[B], trans=1)
+        invB = st.invB
+        invB = invB @ (2.0 * jnp.eye(R, dtype=dtype) - A_B @ invB)
+        xB = invB @ b1
+        w = invB.T @ c1[B]
         h = c1 - A1.T @ w
-        numbad = ~(jnp.all(jnp.isfinite(xB)) & jnp.all(jnp.isfinite(h)))
+        numbad = ~(jnp.all(jnp.isfinite(xB)) & jnp.all(jnp.isfinite(h))
+                   & jnp.all(jnp.isfinite(invB)))
 
         dv = ~in_basis & (h < -tol)
         idxK = jnp.min(jnp.where(dv, arange, Nt))
@@ -96,17 +105,18 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
 
         entering = idxK < idxL
 
-        # ---- entering pivot: column k enters, first blocking row leaves ----
+        # ---- entering pivot: column k enters; leaving row = the one with
+        # the SMALLEST basic index among y > tol (the reference's J[1] on a
+        # sorted basis, CCLP.jl:156-164), by value comparison here ----------
         k_in = jnp.where(idxK < Nt, idxK, 0).astype(jnp.int32)
-        y = lu_solve(lufac, A1[:, k_in])
-        rows = y > tol
+        y_in = invB @ A1[:, k_in]
+        rows = y_in > tol
         unb = entering & ~jnp.any(rows)  # status 3 (CCLP.jl:159-161)
-        l_in = B[jnp.argmax(rows)]  # first row with y > tol (B sorted)
+        rpos_in = jnp.argmin(jnp.where(rows, B, Nt))
+        l_in = B[rpos_in]
 
         # ---- leaving pivot: row lpos leaves, first eligible column enters --
-        erow = (jnp.arange(R) == lpos).astype(dtype)
-        v = lu_solve(lufac, erow, trans=1)
-        yrow = A1.T @ v
+        yrow = A1.T @ invB[lpos, :]
         cand = ~in_basis & (yrow < -tol)
         infeas = ~entering & ~jnp.any(cand)  # status 0 (CCLP.jl:146-148)
         k_out = jnp.min(jnp.where(cand, arange, Nt - 1)).astype(jnp.int32)
@@ -114,9 +124,18 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
 
         k = jnp.where(entering, k_in, k_out)
         l = jnp.where(entering, l_in, l_out)
+        rpos = jnp.where(entering, rpos_in, lpos)
 
         stop = numbad | no_viol | unb | infeas
         do_pivot = ~stop
+
+        # product-form inverse update for the exchange at row rpos
+        yk = jnp.where(entering, y_in, invB @ A1[:, k])
+        e_r = (jnp.arange(R) == rpos).astype(dtype)
+        y_r = jnp.where(jnp.abs(yk[rpos]) > 0, yk[rpos], jnp.ones((), dtype))
+        invB_piv = invB - jnp.outer((yk - e_r) / y_r, invB[rpos, :])
+        invB1 = jnp.where(do_pivot, invB_piv, invB)
+        B1 = B.at[rpos].set(jnp.where(do_pivot, k, B[rpos]).astype(B.dtype))
 
         in_b1 = in_basis.at[l].set(jnp.where(do_pivot, False, in_basis[l]))
         in_b1 = in_b1.at[k].set(jnp.where(do_pivot, True, in_b1[k]))
@@ -128,19 +147,21 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
             jnp.where(no_viol, status_opt,
                       jnp.where(unb, 3, jnp.where(infeas, 0, 0))),
         ).astype(jnp.int32)
-        return _CCState(in_b1, S1, xB, it, stop, status)
+        return _CCState(B1, in_b1, S1, xB, invB1, it, stop, status)
 
+    B0 = jnp.nonzero(in_basis0, size=R, fill_value=0)[0].astype(jnp.int32)
+    # initial inverse computed OUTSIDE the loop (fast standalone path)
+    invB0 = jnp.linalg.inv(A1[:, B0]).astype(dtype)
     st0 = _CCState(
-        in_basis0, S0.astype(jnp.int8),
-        jnp.zeros((R,), dtype), jnp.asarray(0, jnp.int32),
+        B0, in_basis0, S0.astype(jnp.int8),
+        jnp.zeros((R,), dtype), invB0, jnp.asarray(0, jnp.int32),
         jnp.asarray(False), jnp.asarray(0, jnp.int32),
     )
     st = jax.lax.while_loop(
         lambda s: (~s.done) & (s.it < max_iter), body, st0
     )
     status = jnp.where(st.done, st.status, -max_iter).astype(jnp.int32)
-    B = jnp.nonzero(st.in_basis, size=R, fill_value=0)[0]
-    x_full = jnp.zeros((Nt,), dtype).at[B].set(st.xB)
+    x_full = jnp.zeros((Nt,), dtype).at[st.B].set(st.xB)
     return status, x_full, st.S
 
 
