@@ -13,6 +13,11 @@ max-abs column pivot, absolute tolerance). A dropped row whose eliminated
 right-hand side still exceeds `tol` marks the system inconsistent — the
 analogue of rank([A b]) > rank(A) detected by `getRowsGJ`'s `l1` bookkeeping
 (utils.jl:36-38).
+
+Not ported on purpose: the reference's `getRows` (utils.jl:89-126, an
+incremental least-squares independence test) is unused in live paths and has
+a latent bug (its default tol references an undefined variable); `SSLP.jl` is
+dead code the reference itself disabled (StatusSwitchingQP.jl:26-30).
 """
 
 from __future__ import annotations
