@@ -249,40 +249,38 @@ def solve_qp_loop(
         fl_dn_e = jnp.where(degen & jnp.any(ev_all), fl_dn_e & single, fl_dn_e)
         zE = jnp.where(fl_up_e, u, jnp.where(fl_dn_e, d, zE))
 
-        # aggressive clipped-full-step outcome. Pinning is capped so at least
-        # M + J + 1 variables stay free (pinning more than that can leave the
-        # working equalities rank-deficient/unsatisfiable): if the clip would
-        # pin more than that, nothing is pinned this iteration and the values
-        # are just clipped (the exact machinery then takes over one event at
-        # a time). Un-pinned violating variables still move to their bound
-        # (keeping z box-feasible) but keep status IN.
-        cl_up = free & fu & (alpha > u)
-        cl_dn = free & fd & (alpha < d)
-        kcap = jnp.maximum(K - (M + J + 1), 0)
-        # severity-ordered cap: the most-violated bounds pin first (an
-        # index-ordered prefix cap was tried and cycles badly — pinning the
-        # *wrong* subset sends the aggressive phase in circles)
-        sev = jnp.where(cl_up, alpha - u, jnp.where(cl_dn, d - alpha, -_BIG))
-        order = jnp.argsort(-sev)
-        rank = jnp.zeros((N,), jnp.int32).at[order].set(
-            jnp.arange(N, dtype=jnp.int32))
-        pin_ok = rank < kcap
-        zG = jnp.where(cl_up, u, jnp.where(cl_dn, d, alpha))
-        zG = jnp.where(free, zG, z)
-        cl_up = cl_up & pin_ok
-        cl_dn = cl_dn & pin_ok
-
-        # The clip step converges in ~10 iterations when its pin guesses are
-        # right, but the equality-infeasible intermediate states it creates
-        # send a third of instances into orbits the exact machinery cannot
-        # reliably recover from (measured on the N=256 frontier batch:
-        # 97/256 solved with clipping vs 256/256 without, while the release
-        # policy alone already cuts iterations ~4x). Off by default;
-        # Settings.clip_step re-enables it for experimentation.
-        aggr_clip = aggr & jnp.asarray(settings.clip_step, bool) & (it <= 12)
-        fl_up = jnp.where(aggr_clip, cl_up, fl_up_e)
-        fl_dn = jnp.where(aggr_clip, cl_dn, fl_dn_e)
-        zA = jnp.where(aggr_clip, zG, zE)
+        # Experimental clipped-full-step outcome (Settings.clip_step, OFF by
+        # default — compiled out entirely when off). It converges in ~10
+        # iterations when its pin guesses are right, but the
+        # equality-infeasible intermediate states it creates send a third of
+        # instances into orbits the exact machinery cannot reliably recover
+        # from (measured on the N=256 frontier batch: 97/256 solved with
+        # clipping vs 256/256 without, while the release policy alone
+        # already cuts iterations ~4x).
+        if settings.clip_step:
+            # Pinning capped so at least M + J + 1 variables stay free
+            # (more can leave the working equalities unsatisfiable), most-
+            # violated bounds first (an index-ordered cap cycles badly).
+            cl_up = free & fu & (alpha > u)
+            cl_dn = free & fd & (alpha < d)
+            kcap = jnp.maximum(K - (M + J + 1), 0)
+            sev = jnp.where(cl_up, alpha - u,
+                            jnp.where(cl_dn, d - alpha, -_BIG))
+            order = jnp.argsort(-sev)
+            rank = jnp.zeros((N,), jnp.int32).at[order].set(
+                jnp.arange(N, dtype=jnp.int32))
+            pin_ok = rank < kcap
+            zG = jnp.where(cl_up, u, jnp.where(cl_dn, d, alpha))
+            zG = jnp.where(free, zG, z)
+            cl_up = cl_up & pin_ok
+            cl_dn = cl_dn & pin_ok
+            aggr_clip = aggr & (it <= 12)
+            fl_up = jnp.where(aggr_clip, cl_up, fl_up_e)
+            fl_dn = jnp.where(aggr_clip, cl_dn, fl_dn_e)
+            zA = jnp.where(aggr_clip, zG, zE)
+        else:
+            aggr_clip = jnp.asarray(False)
+            fl_up, fl_dn, zA = fl_up_e, fl_dn_e, zE
         SxA = jnp.where(fl_up, UP, jnp.where(fl_dn, DN, Sx)).astype(Sx.dtype)
         if J > 0:
             act_e = row_ev & (L_row <= L1 + tol)
@@ -293,8 +291,12 @@ def solve_qp_loop(
                 degen & jnp.any(ev_all), jnp.zeros_like(act_e),
                 jnp.where(degen, act_e & first_row, act_e),
             )
-            act_g = Og & (G @ zA > g + tol)
-            SeA = jnp.where(jnp.where(aggr_clip, act_g, act_e), EO, Se).astype(Se.dtype)
+            if settings.clip_step:
+                act_g = Og & (G @ zA > g + tol)
+                act_sel = jnp.where(aggr_clip, act_g, act_e)
+            else:
+                act_sel = act_e
+            SeA = jnp.where(act_sel, EO, Se).astype(Se.dtype)
         else:
             SeA = Se
 
