@@ -145,11 +145,19 @@ def cg_solve_padded(V, fm, B, iters, rtol):
     return X, rel
 
 
-def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol) -> KKTResult:
+def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol,
+                 ok_rtol=1e-3, ridge=0.0) -> KKTResult:
     """CG variant of :func:`kkt_solve` — same contract, factorization-free.
 
     ``cg_iters``/``rtol`` may be traced. The (R, R) Schur system still uses a
     direct solve (R = M+J working rows is small in the target regime).
+
+    ``ok_rtol`` is the acceptance gate on the CG relative residual: above it
+    the result is flagged not-ok and the caller maps that to the reference's
+    numerical-error path (settings-derived; see Settings.cg_ok_rtol).
+    ``ridge`` adds a Tikhonov term to the Schur complement — used only by the
+    warm-start heuristic, where the working set may momentarily leave the
+    equality system rank-deficient (an exact solver run never passes ridge).
     """
     dtype = V.dtype
     fm = free.astype(dtype)
@@ -175,7 +183,7 @@ def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol) -> KKTResult:
         relmax = jnp.max(rel, initial=0.0)
         w, mT = sol[:, 0], sol[:, 1:]
         C = Ap @ mT
-        C = (C + C.T) / 2 + jnp.diag(1.0 - km)
+        C = (C + C.T) / 2 + jnp.diag((1.0 - km) + ridge * km)
         alphaL = -spd_solve(C, Ap @ w + bp)
         alpha_f = -(mT @ alphaL + w)
 
@@ -185,7 +193,7 @@ def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol) -> KKTResult:
     ok = (
         jnp.all(jnp.isfinite(alpha))
         & jnp.all(jnp.isfinite(alphaL))
-        & (relmax < 1e-3)
+        & (relmax < ok_rtol)
     )
     return KKTResult(alpha, p, alphaL, gamma, ok)
 

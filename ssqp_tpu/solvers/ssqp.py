@@ -440,15 +440,27 @@ def solve_qp(
     return solve_qp_warm2(Q, Sx0, Se0, x0, settings)
 
 
-def _guess_start(Q: QP, settings: Settings, rounds: int = 3):
-    """Active-set guess by projected-Newton identification: solve the
-    equality-constrained QP with the current pinned set, clip the solution
-    into the box, pin the newly clipped coordinates, repeat a few rounds.
-    One round recovers the loose-bound active set; the extra rounds matter
-    for tight boxes, where pinning shifts the remaining coordinates enough
-    to violate further bounds. Pins only accumulate (the S-loop's release
-    machinery unpins any that were wrong). Purely a heuristic: the caller
-    validates the outcome and falls back to Phase-1."""
+def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
+    """Active-set guess by primal-dual active-set (PDAS) identification.
+
+    Each round solves the equality-constrained QP with the current pinned
+    set, then rebuilds the whole status vector with the semismooth-Newton
+    update rule (Hintermüller-Ito-Kunisch):
+
+        pin UP   iff (free and alpha >= u)  or (pinned UP and gamma <= 0)
+        pin DN   iff (free and alpha <= d)  or (pinned DN and gamma >= 0)
+
+    Unlike accumulate-only clipping, a wrong pin is RELEASED the next round
+    by its multiplier sign — this is what survives tight boxes, where the
+    first clip over-pins (even to an empty free set) and only the dual
+    feedback can walk it back. The Schur complement gets a small ridge so a
+    momentarily rank-deficient working equality system (e.g. every variable
+    pinned) still produces finite, correctly-signed multipliers instead of
+    NaNs: an over-pinned budget row then yields a large-magnitude alphaL
+    whose sign releases the right side of the box. Rounds stop early when
+    the status vector reaches a fixed point. Purely a heuristic: the caller
+    validates the outcome (converged + primal feasible) and falls back to
+    Phase-1."""
     N, M, J = Q.N, Q.M, Q.J
     dtype = Q.V.dtype
     AG = jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A
@@ -457,18 +469,36 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 3):
         [jnp.ones((M,), bool), jnp.zeros((J,), bool)]
     ) if J > 0 else jnp.ones((M,), bool)
     cg_it = jnp.asarray(settings.cg_iters, jnp.int32)
+    fu = jnp.isfinite(Q.u)
+    fd = jnp.isfinite(Q.d)
+    # Heuristic-only regularization (see docstring); scaled well above
+    # dtype eps so the f32 Schur solve stays stably invertible.
+    ridge = jnp.asarray(100.0 * float(jnp.finfo(dtype).eps), dtype)
 
-    Sx = jnp.full((N,), IN, jnp.int8)
-    z = jnp.zeros((N,), dtype)
-    for _ in range(rounds):
+    def round_body(carry):
+        it, Sx, z, _ = carry
         free = Sx == IN
-        res = kkt_solve_cg(Q.V, Q.q, AG, bg, z, free, eq_keep,
-                           cg_it, settings.cg_rtol)
-        alpha = res.alpha
-        lo = free & jnp.isfinite(Q.d) & (alpha <= Q.d)
-        hi = free & jnp.isfinite(Q.u) & (alpha >= Q.u)
-        Sx = jnp.where(lo, DN, jnp.where(hi, UP, Sx)).astype(jnp.int8)
-        z = jnp.clip(alpha, Q.d, Q.u)
+        zb = jnp.where(Sx == UP, Q.u, jnp.where(Sx == DN, Q.d, 0.0))
+        res = kkt_solve_cg(Q.V, Q.q, AG, bg, zb, free, eq_keep,
+                           cg_it, settings.cg_rtol, ridge=ridge)
+        alpha, gamma = res.alpha, res.gamma
+        up = (free & fu & (alpha >= Q.u)) | ((Sx == UP) & (gamma <= 0))
+        dn = (free & fd & (alpha <= Q.d)) | ((Sx == DN) & (gamma >= 0))
+        Sx_new = jnp.where(up, UP, jnp.where(dn, DN, IN)).astype(jnp.int8)
+        z_new = jnp.clip(alpha, Q.d, Q.u)
+        changed = jnp.any(Sx_new != Sx)
+        return it + 1, Sx_new, z_new, changed
+
+    def round_cond(carry):
+        it, _, _, changed = carry
+        return (it < rounds) & changed
+
+    Sx0 = jnp.full((N,), IN, jnp.int8)
+    z0 = jnp.zeros((N,), dtype)
+    _, Sx, z, _ = jax.lax.while_loop(
+        round_cond, round_body,
+        (jnp.asarray(0, jnp.int32), Sx0, z0, jnp.asarray(True)),
+    )
     Se = jnp.full((J,), OE, jnp.int8)
     return z, Sx, Se
 
