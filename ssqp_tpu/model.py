@@ -218,21 +218,59 @@ class Model:
         settings = self.settings or Settings.for_dtype(P.d.dtype)
 
         if P.mc == -20:
-            # analytic presolve for no-inequality/no-bound models
-            # (reference MOIwrapper.jl:131-160)
+            # Analytic presolve for no-inequality/no-bound models (reference
+            # MOIwrapper.jl:131-160 — which solves bare A\b with a
+            # "to do: QP" comment, so an underdetermined system with a
+            # nonzero objective is mislabeled OPTIMAL there; here the
+            # objective participates: equality-constrained models solve the
+            # KKT system, and classification is by residual, not det(V)
+            # (det over/underflows at modest N).
             self._analytic = True
             N = P.N
             A = np.asarray(P.A)
-            if P.M > 0:
-                x, *_ = np.linalg.lstsq(A, np.asarray(P.b), rcond=None)
-                st = 1
-            elif isinstance(P, QP):
+            b = np.asarray(P.b)
+
+            def _feas(x):
+                if P.M == 0:
+                    return True
+                s = 1.0 + (np.abs(b).max() if b.size else 0.0)
+                return np.abs(A @ x - b).max(initial=0.0) < 1e-8 * s
+
+            if isinstance(P, QP):
                 V = np.asarray(P.V)
-                x = np.linalg.lstsq(V, -np.asarray(P.q), rcond=None)[0]
-                st = 1 if np.linalg.det(V) > 0 else 3
+                q = np.asarray(P.q)
+                sq = 1.0 + (np.abs(q).max() if q.size else 0.0)
+                if P.M > 0:
+                    K = np.block([[V, A.T], [A, np.zeros((P.M, P.M))]])
+                    rhs = np.concatenate([-q, b])
+                    sol, *_ = np.linalg.lstsq(K, rhs, rcond=None)
+                    x, lam = sol[:N], sol[N:]
+                    stat_ok = np.abs(V @ x + q + A.T @ lam).max(
+                        initial=0.0) < 1e-7 * sq
+                    st = 1 if (_feas(x) and stat_ok) else (
+                        0 if not _feas(x) else 3)
+                else:
+                    x, *_ = np.linalg.lstsq(V, -q, rcond=None)
+                    # consistent Vx=-q (even singular V) -> a minimizer;
+                    # inconsistent -> unbounded below
+                    st = 1 if np.abs(V @ x + q).max(
+                        initial=0.0) < 1e-7 * sq else 3
             else:
-                x = np.zeros(N)
-                st = 1 if np.abs(np.asarray(P.c)).max(initial=0.0) == 0 else 3
+                c = np.asarray(P.c)
+                sc = 1.0 + (np.abs(c).max() if c.size else 0.0)
+                if P.M > 0:
+                    x, *_ = np.linalg.lstsq(A, b, rcond=None)
+                    if not _feas(x):
+                        st = 0
+                    else:
+                        # bounded iff c lies in the row space of A (objective
+                        # constant on the feasible affine set)
+                        y, *_ = np.linalg.lstsq(A.T, c, rcond=None)
+                        st = 1 if np.abs(A.T @ y - c).max(
+                            initial=0.0) < 1e-7 * sc else 3
+                else:
+                    x = np.zeros(N)
+                    st = 1 if np.abs(c).max(initial=0.0) == 0 else 3
             self._result = Result(
                 jnp.asarray(x), jnp.full((N,), DN, jnp.int8),
                 jnp.asarray(st, jnp.int32),

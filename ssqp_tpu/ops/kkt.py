@@ -184,8 +184,14 @@ def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol,
         w, mT = sol[:, 0], sol[:, 1:]
         C = Ap @ mT
         C = (C + C.T) / 2 + jnp.diag((1.0 - km) + ridge * km)
-        alphaL = -spd_solve(C, Ap @ w + bp)
+        rhsC = Ap @ w + bp
+        alphaL = -spd_solve(C, rhsC)
         alpha_f = -(mT @ alphaL + w)
+        # Schur residual gate (the (R,R) direct solve's accuracy was
+        # previously unchecked — only the CG residual was).
+        rS = C @ alphaL + rhsC
+        sS = 1.0 + jnp.max(jnp.abs(rhsC), initial=0.0)
+        relmax = jnp.maximum(relmax, jnp.max(jnp.abs(rS), initial=0.0) / sS)
 
     alpha = fm * alpha_f + bm * z
     p = fm * (alpha_f - z)
@@ -198,7 +204,7 @@ def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol,
     return KKTResult(alpha, p, alphaL, gamma, ok)
 
 
-def kkt_solve(V, q, AG, bg, z, free, keep) -> KKTResult:
+def kkt_solve(V, q, AG, bg, z, free, keep, ok_rtol=1e-8) -> KKTResult:
     """Solve the working-set equality QP at full padded shape.
 
     Args:
@@ -209,11 +215,14 @@ def kkt_solve(V, q, AG, bg, z, free, keep) -> KKTResult:
       z: (N,) current (feasible) point.
       free: (N,) bool — variables with status IN.
       keep: (R,) bool — active working rows that survived the redundancy purge.
+      ok_rtol: relative-residual acceptance gate (Settings.cg_ok_rtol).
 
     Returns a :class:`KKTResult`. If ``V[F,F]`` is not positive definite the
-    Cholesky produces NaNs; ``ok`` is False and the caller maps that to the
-    reference's numerical-error status -1 (the reference throws instead,
-    SSQP.jl:322).
+    XLA Cholesky produces NaNs, while the Pallas kernel floors the pivot and
+    returns finite garbage — either way the stationarity/primal residual
+    check below exceeds ``ok_rtol``, ``ok`` comes back False, and the caller
+    maps that to the reference's numerical-error status -1 (the reference
+    throws instead, SSQP.jl:322).
     """
     dtype = V.dtype
     fm = free.astype(dtype)
@@ -232,6 +241,7 @@ def kkt_solve(V, q, AG, bg, z, free, keep) -> KKTResult:
         w = spd_solve(Vp, cp)
         alphaL = jnp.zeros((0,), dtype)
         alpha_f = -w
+        res_primal = jnp.zeros((0,), dtype)
     else:
         # w = Vp^{-1} cp ; mT = Vp^{-1} Ap'   (one fused factor+multi-solve)
         rhs = jnp.concatenate([cp[:, None], Ap.T], axis=1)
@@ -243,12 +253,27 @@ def kkt_solve(V, q, AG, bg, z, free, keep) -> KKTResult:
         alphaL = -spd_solve(C, Ap @ w + bp)
 
         alpha_f = -(mT @ alphaL + w)
+        res_primal = Ap @ alpha_f - bp
     alpha = fm * alpha_f + bm * z
     p = fm * (alpha_f - z)
 
     gamma = V @ alpha + q + AG.T @ (km * alphaL)
 
-    ok = jnp.all(jnp.isfinite(alpha)) & jnp.all(jnp.isfinite(alphaL))
+    # Residual gate: in exact arithmetic Vp alpha_f + Ap'(keep.alphaL) + cp = 0
+    # (stationarity) and Ap alpha_f = bp (primal). A non-PD Vp silently
+    # "solved" by a floored pivot violates these by O(1).
+    res_stat = Vp @ alpha_f + Ap.T @ (km * alphaL) + cp
+    s_stat = 1.0 + jnp.max(jnp.abs(cp), initial=0.0)
+    s_prim = 1.0 + jnp.max(jnp.abs(bp), initial=0.0)
+    relmax = jnp.maximum(
+        jnp.max(jnp.abs(res_stat), initial=0.0) / s_stat,
+        jnp.max(jnp.abs(res_primal), initial=0.0) / s_prim,
+    )
+    ok = (
+        jnp.all(jnp.isfinite(alpha))
+        & jnp.all(jnp.isfinite(alphaL))
+        & (relmax < ok_rtol)
+    )
     return KKTResult(alpha, p, alphaL, gamma, ok)
 
 

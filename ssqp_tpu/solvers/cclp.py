@@ -31,7 +31,9 @@ import jax
 import jax.numpy as jnp
 
 from ssqp_tpu.ops.masked_gj import masked_independent_cols
-from ssqp_tpu.types import DN, IN, LP, OE, Result, Settings
+from ssqp_tpu.types import (
+    DN, IN, LP, MC_INFEASIBLE, MC_NUMERICAL, OE, Result, Settings,
+)
 from ssqp_tpu.utils.precision import highest_matmul
 from ssqp_tpu.utils.standard_form import recover_solution, standard_form
 
@@ -194,7 +196,11 @@ def solve_lp(P: LP, *, settings: Optional[Settings] = None) -> Result:
     exported `solveLP`, StatusSwitchingQP.jl:32-34). Box-only problems take
     the closed-form path (CCLP.jl:299-302)."""
     settings = settings or Settings.for_dtype(P.c.dtype)
-    if P.mc <= 0:
+    if P.mc in (MC_INFEASIBLE, MC_NUMERICAL):
+        # The reference solveLP(Q::LP) has NO mc gate (CCLP.jl:289-390): it
+        # happily solves d==u (mc=-30) models as fixed variables and
+        # equality-only (mc=-20) models through the free-variable split.
+        # Only genuinely invalid models are rejected here.
         S = jnp.concatenate(
             [jnp.full((P.N,), DN, jnp.int8), jnp.full((P.J,), OE, jnp.int8)]
         ) if P.J > 0 else jnp.full((P.N,), DN, jnp.int8)

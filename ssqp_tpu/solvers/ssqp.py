@@ -143,9 +143,11 @@ def solve_qp_loop(
 
         if settings.kkt_cg:
             res = kkt_solve_cg(V, q, AG, bg, z, free, keep,
-                               cg_it, settings.cg_rtol)
+                               cg_it, settings.cg_rtol,
+                               ok_rtol=settings.cg_ok_rtol)
         else:
-            res = kkt_solve(V, q, AG, bg, z, free, keep)
+            res = kkt_solve(V, q, AG, bg, z, free, keep,
+                            ok_rtol=settings.cg_ok_rtol)
         alpha, p, gamma = res.alpha, res.p, res.gamma
         # An inconsistent working system is a numerical error in reference
         # semantics (SSQP.jl:310-319). Aggressive row activation can
@@ -407,6 +409,22 @@ def solve_qp_warm2(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> 
     x = jnp.where(ok1, r1.x, r2.x)
     S = jnp.where(ok1, r1.S, r2.S)
     status = jnp.where(ok1, r1.status, r2.status).astype(jnp.int32)
+    if settings.kkt_cg and settings.escalate_direct:
+        # Escalation: an instance the CG path flagged as a numerical error
+        # (stalled CG / failed acceptance gate) gets one direct-Cholesky
+        # rerun before -1 is final. Instances already solved pass through the
+        # while_loop with done pre-set, so the extra pass costs nothing at
+        # runtime when unused (one extra loop-body compile).
+        import dataclasses as _dc
+
+        direct = _dc.replace(settings, kkt_cg=False)
+        pre3 = jnp.where(status == -1, pre, jnp.asarray(-9, jnp.int32))
+        r3 = solve_qp_loop(Q, Sx0, Se0, x0, direct, pre_status=pre3,
+                           mf_flag=False, max_iter=settings.max_iter)
+        esc = (status == -1) & (r3.status > 0)
+        x = jnp.where(esc, r3.x, x)
+        S = jnp.where(esc, r3.S, S)
+        status = jnp.where(esc, r3.status, status).astype(jnp.int32)
     return Result(x, S, status)
 
 

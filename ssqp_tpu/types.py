@@ -106,6 +106,20 @@ class Settings:
     kkt_cg: bool = True
     cg_iters: int = 128
     cg_rtol: float = 1e-14  # must sit well below tolG; see for_dtype
+    # Acceptance gate on the KKT solve's relative residual (CG residual and
+    # the Schur/primal residuals of either path). Above it the iteration is
+    # flagged a numerical error (status -1) exactly like a failed reference
+    # factorization (SSQP.jl:322). Dtype-scaled: f64 solves reach ~eps-level
+    # residuals, so the f64 gate sits near tolG; the f32 gate tolerates
+    # normal f32 noise but still catches garbage (O(1) residuals from a
+    # floored pivot).
+    cg_ok_rtol: float = 1e-8
+    # When the CG path flags a numerical error, re-run the instance with
+    # direct (Cholesky) KKT solves before giving up — the escalation the
+    # reference doesn't need because it always factorizes. Compiles one
+    # extra loop body; disabled in the f32 speed recipe (f32 accuracy comes
+    # from the f64 refinement wrapper instead, solvers/refine.py).
+    escalate_direct: bool = True
 
     @staticmethod
     def for_dtype(dtype) -> "Settings":
@@ -113,7 +127,8 @@ class Settings:
         if dtype == jnp.float32:
             # f32 eps ~ 1.19e-7; reference f64 tolerances are unreachable.
             return Settings(tol=2.0**-16, tolG=2.0**-20, dtype=jnp.float32,
-                            cg_iters=64, cg_rtol=1e-7)
+                            cg_iters=64, cg_rtol=1e-7, cg_ok_rtol=2e-3,
+                            escalate_direct=False)
         return Settings(dtype=dtype)
 
 

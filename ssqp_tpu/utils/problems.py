@@ -147,14 +147,26 @@ def kkt_residual(V, q, A, b, G, g, d, u, x, tol_act: float = 1e-7):
         c.shape[1] for c in cols
     ) else np.zeros((len(x), 0))
     if Mcols.shape[1]:
-        m, *_ = np.linalg.lstsq(Mcols, -grad, rcond=None)
-        # clip sign-constrained multipliers and re-evaluate the residual
+        # Sign-constrained recovery: free-sign equality multipliers become
+        # a +/- column pair so the whole system is NNLS. (A plain lstsq with
+        # after-the-fact clipping mis-splits the non-unique multipliers of a
+        # VERTEX solution — zero free variables — and reports a phantom
+        # stationarity residual on perfectly optimal points.)
+        from scipy.optimize import nnls
+
         off = A.shape[0]
-        na = int(act_g.sum())
-        m2 = m.copy()
-        m2[off : off + na] = np.maximum(m2[off : off + na], 0.0)
-        m2[off + na :] = np.maximum(m2[off + na :], 0.0)
-        stat = np.abs(grad + Mcols @ m2).max()
+        Mn = np.concatenate([Mcols[:, :off], -Mcols[:, :off], Mcols[:, off:]],
+                            axis=1)
+        try:
+            m, _ = nnls(Mn, -grad, maxiter=10 * Mn.shape[1] + 100)
+            stat = np.abs(grad + Mn @ m).max()
+        except Exception:
+            m, *_ = np.linalg.lstsq(Mcols, -grad, rcond=None)
+            na = int(act_g.sum())
+            m2 = m.copy()
+            m2[off : off + na] = np.maximum(m2[off : off + na], 0.0)
+            m2[off + na :] = np.maximum(m2[off + na :], 0.0)
+            stat = np.abs(grad + Mcols @ m2).max()
     else:
         stat = np.abs(grad).max()
     return dict(

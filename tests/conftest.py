@@ -16,6 +16,20 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402 (already preloaded by sitecustomize)
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound compiler-state growth across the suite.
+
+    The full battery compiles many hundreds of distinct (N, M, J, batch)
+    solver shapes in one process; letting the XLA CPU compiler's caches grow
+    unboundedly has produced a late-suite segfault inside
+    backend_compile_and_load. Dropping the jit caches between modules keeps
+    the process footprint flat (per-module compiles are unaffected)."""
+    yield
+    jax.clear_caches()

@@ -114,12 +114,25 @@ class TestCrissCross:
         assert abs(float(np.asarray(P.c) @ x) - 2.0) < 1e-9
 
     def test_no_constraints_mc(self):
-        # all-free, no rows at all -> mc=-20 -> status -1 (types.jl:132-135)
+        # all-free (mc=-20): the reference solveLP has NO mc gate
+        # (CCLP.jl:289-390) — the free-variable split handles it. Objective
+        # is constant on the feasible line -> infinitely many (status 2).
         P = make_lp([1.0, 1.0], A=[[1.0, 1.0]], b=[2.0],
                     d=[-np.inf, -np.inf], u=[np.inf, np.inf])
         assert P.mc == -20
         r = solve_lp(P, settings=SETTINGS)
-        assert int(r.status) == -1
+        assert int(r.status) == 2
+        assert abs(float(np.asarray(P.c) @ np.asarray(r.x)) - 2.0) < 1e-9
+
+    def test_du_equal_solves(self):
+        # d == u (mc=-30): fixed variable, still solvable (no gate in the
+        # reference; ADVICE round-1 finding)
+        P = make_lp([0.0, 1.0], A=[[1.0, 1.0]], b=[1.0],
+                    d=[0.3, 0.0], u=[0.3, 10.0])
+        assert P.mc == -30
+        r = solve_lp(P, settings=SETTINGS)
+        assert int(r.status) == 1
+        np.testing.assert_allclose(np.asarray(r.x), [0.3, 0.7], atol=1e-9)
 
     def test_upper_bound_status(self):
         # min -x, 0<=x<=1 with a dummy equality on y
