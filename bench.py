@@ -23,6 +23,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# The TPU search path is explicitly float32 end to end; x64 must be ON so the
+# audit's float64 ground-truth solves are genuinely float64 (without this,
+# dtype=np.float64 arrays silently truncate to f32 and the f64-tier Settings'
+# tolerances become unreachable).
+jax.config.update("jax_enable_x64", True)
+
 
 def main():
     from ssqp_tpu.types import Settings, make_qp
@@ -67,26 +73,44 @@ def main():
     t = float(np.mean(times))
     qps = batch / t
 
-    # accuracy audit vs float64 CPU reference solve of a subsample
+    # Accuracy audit: SSQPspeed-style quantile protocol (reference
+    # examples/SSQPspeed.jl:93-163) — ||x-z||_inf and objective gap vs a
+    # trusted f64 ground-truth solve, reported as max/median/1%/99%
+    # quantiles over an audit subsample (the f64 CPU solves are the cost
+    # ceiling; default 256 instances, override with BENCH_AUDIT).
     gap = float("nan")
     try:
+        n_audit = int(os.environ.get("BENCH_AUDIT", 256))
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            from ssqp_tpu.solvers.ssqp import solve_qp
+            from ssqp_tpu.types import Settings as _S
+            from ssqp_tpu.parallel.batch import (
+                frontier_batch as _fb, solve_qp_batch as _sb,
+            )
 
             lams_last = np.linspace(0.001 * reps, 2.0 + 0.001 * reps, batch)
-            idx = np.linspace(0, batch - 1, 4).astype(int)
-            gaps = []
-            for i in idx:
-                qi = -lams_last[i] * mu
-                Qi = make_qp(V, qi, u=np.full(N, 4.0 / N), dtype=np.float64)
-                r64 = solve_qp(Qi)
-                x32 = np.asarray(res.x[i], np.float64)
-                x64 = np.asarray(r64.x)
-                f32v = 0.5 * x32 @ V @ x32 + qi @ x32
-                f64v = 0.5 * x64 @ V @ x64 + qi @ x64
-                gaps.append(abs(f32v - f64v) / max(1.0, abs(f64v)))
-            gap = float(max(gaps))
+            idx = np.linspace(0, batch - 1, n_audit).astype(int)
+            Q64 = make_qp(V, mu, u=np.full(N, 4.0 / N), dtype=np.float64)
+            Qb64, sh64 = _fb(Q64, jnp.asarray(lams_last[idx], jnp.float64))
+            r64 = _sb(Qb64, _S(), shared=sh64)
+            x64 = np.asarray(r64.x, np.float64)
+            ok64 = np.asarray(r64.status) > 0
+            x32 = np.asarray(res.x, np.float64)[idx]
+            qs = -lams_last[idx][:, None] * mu[None, :]
+            f32v = 0.5 * np.einsum("bi,ij,bj->b", x32, V, x32) + (qs * x32).sum(1)
+            f64v = 0.5 * np.einsum("bi,ij,bj->b", x64, V, x64) + (qs * x64).sum(1)
+            gaps = np.abs(f32v - f64v) / np.maximum(1.0, np.abs(f64v))
+            xinf = np.abs(x32 - x64).max(axis=1)
+            gaps, xinf = gaps[ok64], xinf[ok64]
+            qt = lambda a: {k: float(np.quantile(a, p)) for k, p in
+                            (("q01", 0.01), ("median", 0.5), ("q99", 0.99),
+                             ("max", 1.0))}
+            gap = float(gaps.max())
+            print(
+                f"accuracy audit ({int(ok64.sum())}/{n_audit} f64 refs): "
+                f"objgap {qt(gaps)} xinf {qt(xinf)}",
+                file=sys.stderr,
+            )
     except Exception as e:  # audit is best-effort; never sink the bench
         print(f"accuracy audit skipped: {e}", file=sys.stderr)
 

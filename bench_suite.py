@@ -28,6 +28,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# x64 ON so dtype=np.float64 ground-truth solves are genuinely float64; the
+# f32 TPU paths construct their arrays explicitly f32 (see bench.py).
+jax.config.update("jax_enable_x64", True)
+
 
 def _emit(metric, value, unit, baseline=None):
     rec = {"metric": metric, "value": round(float(value), 3), "unit": unit}
@@ -190,10 +194,139 @@ def config5():
     _emit(f"sharded_n256_{ndev}dev_qps", qps, "QP/s")
 
 
+def config6():
+    """Competitor column (reference SSQPspeed benches SSQP against OSQP and
+    Clarabel, SSQPspeed.jl:10-26; neither is installable here, so the
+    independent competitors are scipy's SLSQP for QP and HiGHS for LP) plus
+    the SSQPspeed quantile accuracy protocol on the same instances."""
+    from scipy.optimize import LinearConstraint, linprog, minimize
+
+    from ssqp_tpu.types import Settings, make_qp
+    from ssqp_tpu.parallel.batch import frontier_batch, solve_qp_batch
+
+    # --- QP column: N=256 frontier points --------------------------------
+    N, K = 256, 16
+    rng = np.random.default_rng(7)
+    H = rng.standard_normal((N, N))
+    V = H @ H.T / N + 0.5 * np.eye(N)
+    mu = rng.uniform(0.0, 0.2, N)
+    lams = np.linspace(0.05, 2.0, K)
+    u = np.full(N, 4.0 / N)
+
+    # ground truth: f64 exact solves (CPU)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        from ssqp_tpu.solvers.ssqp import solve_qp
+
+        xs_ref = []
+        for lam in lams:
+            Q = make_qp(V, -lam * mu, u=u, dtype=np.float64)
+            r = solve_qp(Q)
+            assert int(r.status) > 0
+            xs_ref.append(np.asarray(r.x))
+    xs_ref = np.stack(xs_ref)
+
+    # competitor: scipy SLSQP, per-point wall time + accuracy
+    t_slsqp, xs_slsqp = [], []
+    for lam in lams:
+        q = -lam * mu
+        t0 = time.perf_counter()
+        m = minimize(
+            lambda x: 0.5 * x @ V @ x + q @ x, np.full(N, 1.0 / N),
+            jac=lambda x: V @ x + q,
+            bounds=[(0.0, 4.0 / N)] * N,
+            constraints=[LinearConstraint(np.ones((1, N)), 1.0, 1.0)],
+            method="SLSQP", options={"maxiter": 500, "ftol": 1e-12},
+        )
+        t_slsqp.append(time.perf_counter() - t0)
+        xs_slsqp.append(m.x)
+    xs_slsqp = np.stack(xs_slsqp)
+
+    # ours: f32 TPU batch throughput -> amortized per-solve time; accuracy on
+    # the same K points
+    s = Settings.for_dtype(jnp.float32)
+    batch = 2048
+    Q0 = make_qp(np.asarray(V, np.float32), np.asarray(mu, np.float32),
+                 u=np.asarray(u, np.float32), dtype=np.float32)
+    grid = np.linspace(0.05, 2.0, batch)
+    grid[:K] = lams  # embed the audited points
+    times = []
+    res = None
+    for i in range(3):
+        g = grid + (0.0 if i == 0 else 1e-4 * i)
+        g[:K] = lams  # audited points stay exact
+        Qb, shared = frontier_batch(Q0, jnp.asarray(g, jnp.float32))
+        Qb = jax.device_put(Qb)
+        t0 = time.perf_counter()
+        res = solve_qp_batch(Qb, s, shared=shared)
+        np.asarray(res.x)
+        if i:
+            times.append(time.perf_counter() - t0)
+    ours_per_solve = float(np.mean(times)) / batch
+    xs_ours = np.asarray(res.x, np.float64)[:K]
+
+    def _quant(xs):
+        qsv = -lams[:, None] * mu[None, :]
+        f = 0.5 * np.einsum("bi,ij,bj->b", xs, V, xs) + (qsv * xs).sum(1)
+        fr = (0.5 * np.einsum("bi,ij,bj->b", xs_ref, V, xs_ref)
+              + (qsv * xs_ref).sum(1))
+        gap = np.abs(f - fr) / np.maximum(1.0, np.abs(fr))
+        xinf = np.abs(xs - xs_ref).max(axis=1)
+        q = lambda a, p: float(np.quantile(a, p))
+        return dict(objgap_med=q(gap, 0.5), objgap_max=q(gap, 1.0),
+                    xinf_med=q(xinf, 0.5), xinf_max=q(xinf, 1.0))
+
+    acc_ours = _quant(xs_ours)
+    acc_slsqp = _quant(xs_slsqp)
+    print(f"config6 accuracy ours={acc_ours} slsqp={acc_slsqp}",
+          file=sys.stderr)
+    _emit("competitor_slsqp_n256_per_solve", float(np.mean(t_slsqp)) * 1e3,
+          "ms")
+    _emit("ours_n256_per_solve_amortized", ours_per_solve * 1e3, "ms")
+    _emit("speedup_vs_slsqp", float(np.mean(t_slsqp)) / ours_per_solve, "x")
+    _emit("ours_n256_objgap_max", acc_ours["objgap_max"], "rel")
+
+    # --- LP column: N=100 vs HiGHS ----------------------------------------
+    from ssqp_tpu.types import make_lp
+    from ssqp_tpu.solvers.lp import simplex_lp
+
+    N, M, J = 100, 5, 20
+    t_hi, t_ours, agree = [], [], []
+    sLP = Settings.for_dtype(jnp.float32)
+    for i in range(4):
+        rng = np.random.default_rng(40 + i)
+        A = rng.standard_normal((M, N))
+        x0 = rng.uniform(0.1, 1.0, N)
+        b = A @ x0
+        G = rng.standard_normal((J, N))
+        g = G @ x0 + rng.uniform(0.1, 1.0, J)
+        c = rng.standard_normal(N)
+        t0 = time.perf_counter()
+        hres = linprog(c, A_ub=G, b_ub=g, A_eq=A, b_eq=b,
+                       bounds=[(0.0, 2.0)] * N, method="highs")
+        t_hi.append(time.perf_counter() - t0)
+        P = make_lp(np.asarray(c, np.float32), np.asarray(A, np.float32),
+                    np.asarray(b, np.float32),
+                    G=np.asarray(G, np.float32), g=np.asarray(g, np.float32),
+                    d=np.zeros(N, np.float32), u=np.full(N, 2.0, np.float32),
+                    dtype=np.float32)
+        t0 = time.perf_counter()
+        r = simplex_lp(P, settings=sLP)
+        np.asarray(r.x)
+        if i:
+            t_ours.append(time.perf_counter() - t0)
+        agree.append(abs(float(np.asarray(P.c) @ np.asarray(r.x)) - hres.fun)
+                     / max(1.0, abs(hres.fun)))
+    print(f"config6 LP objective agreement vs HiGHS max "
+          f"{max(agree):.2e}", file=sys.stderr)
+    _emit("competitor_highs_lp_n100_latency", float(np.mean(t_hi)) * 1e3, "ms")
+    _emit("ours_lp_n100_latency", float(np.mean(t_ours)) * 1e3, "ms")
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
-               "5": config5}
+               "5": config5, "6": config6}
     if which == "all":
         for k in sorted(configs):
             configs[k]()

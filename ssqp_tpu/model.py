@@ -236,6 +236,7 @@ class Model:
                 s = 1.0 + (np.abs(b).max() if b.size else 0.0)
                 return np.abs(A @ x - b).max(initial=0.0) < 1e-8 * s
 
+            lam_out = None
             if isinstance(P, QP):
                 V = np.asarray(P.V)
                 q = np.asarray(P.q)
@@ -249,6 +250,8 @@ class Model:
                         initial=0.0) < 1e-7 * sq
                     st = 1 if (_feas(x) and stat_ok) else (
                         0 if not _feas(x) else 3)
+                    if st == 1:
+                        lam_out = lam
                 else:
                     x, *_ = np.linalg.lstsq(V, -q, rcond=None)
                     # consistent Vx=-q (even singular V) -> a minimizer;
@@ -274,6 +277,8 @@ class Model:
             self._result = Result(
                 jnp.asarray(x), jnp.full((N,), DN, jnp.int8),
                 jnp.asarray(st, jnp.int32),
+                None if lam_out is None else np.asarray(lam_out, float),
+                None if lam_out is None else np.zeros(N),
             )
             self.solve_time = 0.0
             return self.termination_status()
@@ -286,6 +291,9 @@ class Model:
         self._result = Result(
             np.asarray(self._result.x), np.asarray(self._result.S),
             int(self._result.status),
+            None if self._result.lam is None else np.asarray(self._result.lam),
+            None if self._result.gamma is None
+            else np.asarray(self._result.gamma),
         )
         self.solve_time = time.perf_counter() - t0
         return self.termination_status()
@@ -337,10 +345,34 @@ class Model:
         return str(int(self._result.status)) if self._result is not None else "?"
 
     def dual_status(self) -> str:
-        """Duals are not produced (reference parity: ConstraintDual and
-        DualObjectiveValue are unsupported and DualStatus is reported as
-        FEASIBLE_POINT, MOIwrapper.jl:186-192, 255-257)."""
-        return FEASIBLE_POINT if self._result is not None else NO_SOLUTION
+        """FEASIBLE_POINT when a dual certificate is attached (the QP path
+        computes one; this *exceeds* the reference, whose ConstraintDual /
+        DualObjectiveValue are unsupported, MOIwrapper.jl:255-257)."""
+        if self._result is None:
+            return NO_SOLUTION
+        if getattr(self._result, "lam", None) is None:
+            return FEASIBLE_POINT  # reference-parity fudge for LP engines
+        return FEASIBLE_POINT
+
+    def duals(self) -> dict:
+        """Dual certificates at the solution (QP path only; raises otherwise).
+
+        Returns dict(eq=(M,), ineq=(J,), bounds=(N,)) in assembled row order,
+        MIN-sense convention: stationarity ``Vx + q + A'eq + G'ineq = bounds``
+        with ``ineq >= 0`` on active rows and ``bounds >= 0`` at lower /
+        ``<= 0`` at upper bounds. For a MAX-sense model the internal
+        objective was negated, so negate the returned duals to interpret
+        them against the original objective.
+        """
+        if self._result is None or getattr(self._result, "lam", None) is None:
+            raise ValueError("no dual certificate available for this solve")
+        P = self._problem
+        lam = np.asarray(self._result.lam, float)
+        return dict(
+            eq=lam[: P.M],
+            ineq=lam[P.M :],
+            bounds=np.asarray(self._result.gamma, float),
+        )
 
     def __repr__(self) -> str:  # reference Base.show, MOIwrapper.jl:71-88
         n_eq = sum(1 for k, *_ in self._rows if k == "eq")

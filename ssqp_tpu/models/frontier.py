@@ -73,14 +73,47 @@ def frontier_batch_sweep(Q: QP, rets, lams, settings: Settings) -> FrontierResul
     return FrontierResult(res.x, res.S, res.status, ret, risk)
 
 
+def _warm_step(Q: QP, settings: Settings, st1, mk):
+    """Build the scan step shared by the warm L- and mu-sweeps: warm S-loop
+    from the carried (S, x); on failure, a full cold re-solve of that point
+    (guess + Phase-1 + fast/exact passes) under `lax.cond`, so one bad grid
+    point neither stalls the sweep nor silently degrades the carried warm
+    state (it used to carry the last good state forward without retrying).
+    ``mk`` maps the scanned grid scalar to the point's QP (built inside the
+    step — scanning pre-built QPs would replicate V per grid point)."""
+    from ssqp_tpu.solvers.ssqp import solve_qp_auto_core
+
+    N, J = Q.N, Q.J
+
+    def step(carry, inputs):
+        Sx, Se, x = carry
+        Qi = mk(inputs)
+        res = solve_qp_loop(Qi, Sx, Se, x, settings, pre_status=st1)
+        res = jax.lax.cond(
+            res.status > 0,
+            lambda r: r,
+            lambda _: solve_qp_auto_core(Qi, settings),
+            res,
+        )
+        ok = res.status > 0
+        Sxn = jnp.where(ok, res.S[:N], Sx).astype(jnp.int8)
+        Sen = (jnp.where(ok, res.S[N:], Se).astype(jnp.int8)
+               if J > 0 else Se)
+        xn = jnp.where(ok, res.x, x)
+        return (Sxn, Sen, xn), (res.x, res.S, res.status)
+
+    return step
+
+
 @partial(jax.jit, static_argnames=("settings",))
 @highest_matmul
 def frontier_warm_sweep(Q: QP, rets, lams, settings: Settings) -> FrontierResult:
     """Sweep the L grid sequentially, warm-starting each point from the
     previous optimum's (S, x) (reference protocol, SSQPspeed.jl:128-163).
 
-    A failed point (status <= 0) falls back to carrying the last good state
-    so the rest of the sweep is unaffected.
+    A failed point is re-solved cold (Phase-1 + full strategy) before the
+    sweep moves on; only if that also fails does the carry keep the last
+    good state.
     """
     N, J = Q.N, Q.J
     dtype = Q.V.dtype
@@ -90,17 +123,7 @@ def frontier_warm_sweep(Q: QP, rets, lams, settings: Settings) -> FrontierResult
     q0 = -lams[0] * rets
     x0, Sx0, Se0, st1 = init_qp_traced(_with_q(Q, q0), settings)
 
-    def step(carry, lam):
-        Sx, Se, x = carry
-        Qi = _with_q(Q, -lam * rets)
-        res = solve_qp_loop(Qi, Sx, Se, x, settings, pre_status=st1)
-        ok = res.status > 0
-        Sxn = jnp.where(ok, res.S[:N], Sx).astype(jnp.int8)
-        Sen = (jnp.where(ok, res.S[N:], Se).astype(jnp.int8)
-               if J > 0 else Se)
-        xn = jnp.where(ok, res.x, x)
-        return (Sxn, Sen, xn), (res.x, res.S, res.status)
-
+    step = _warm_step(Q, settings, st1, lambda lam: _with_q(Q, -lam * rets))
     (_, _, _), (xs, Ss, sts) = jax.lax.scan(step, (Sx0, Se0, x0), lams)
     ret, risk = _stats(Q, rets, xs)
     return FrontierResult(xs, Ss, sts, ret, risk)
@@ -126,3 +149,39 @@ def frontier_mu_sweep(Q: QP, rets, mus, settings: Settings) -> FrontierResult:
     res = jax.vmap(one)(jnp.asarray(mus, dtype))
     ret, risk = _stats(Q, rets, res.x)
     return FrontierResult(res.x, res.S, res.status, ret, risk)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+@highest_matmul
+def frontier_mu_warm_sweep(Q: QP, rets, mus, settings: Settings) -> FrontierResult:
+    """mu-parameterized sweep with scan-carry warm starts — the second half
+    of the reference's warm protocol (SSQPspeed.jl:190-227; the L-sweep
+    already had it).
+
+    The carried x from the previous grid point violates the new return row
+    ``r'z = mu`` by (mu_prev - mu); the first S-loop iteration's KKT solve
+    re-solves the free coordinates against the new right-hand side, which
+    restores feasibility exactly (the active set, which is what the warm
+    start actually transfers, drifts slowly along the frontier). A point the
+    warm solve cannot crack is re-solved cold (Phase-1 included — unlike
+    the L-sweep, feasibility here DEPENDS on mu, so a per-point Phase-1 is
+    the only sound fallback; a genuinely unachievable mu stays status 0).
+    """
+    dtype = Q.V.dtype
+    mus = jnp.asarray(mus, dtype)
+    rets = jnp.asarray(rets, dtype)
+    A = jnp.concatenate([Q.A, rets[None, :].astype(dtype)], axis=0)
+    Qt = QP(Q.V, A, Q.G, jnp.zeros((Q.N,), dtype),
+            jnp.concatenate([Q.b, mus[:1]]), Q.g, Q.d, Q.u,
+            Q.N, Q.M + 1, Q.J, Q.mc)
+
+    def mk(mu):
+        b = jnp.concatenate([Q.b, mu[None]])
+        return QP(Qt.V, Qt.A, Qt.G, Qt.q, b, Qt.g, Qt.d, Qt.u,
+                  Qt.N, Qt.M, Qt.J, Qt.mc)
+
+    x0, Sx0, Se0, st1 = init_qp_traced(mk(mus[0]), settings)
+    step = _warm_step(Qt, settings, st1, mk)
+    (_, _, _), (xs, Ss, sts) = jax.lax.scan(step, (Sx0, Se0, x0), mus)
+    ret, risk = _stats(Q, rets, xs)
+    return FrontierResult(xs, Ss, sts, ret, risk)

@@ -62,8 +62,14 @@ def _spd_solve_vmap(axis_size, in_batched, A, rhs):
     N = A.shape[-1]
     import os
 
+    # honor an explicit CPU default device (e.g. a CPU audit solve inside a
+    # TPU process): default_backend() stays "tpu" there, but dispatching the
+    # Pallas kernel to CPU arrays fails
+    dd = jax.config.jax_default_device
+    on_cpu = dd is not None and getattr(dd, "platform", None) == "cpu"
     use_pallas = (
         jax.default_backend() == "tpu"
+        and not on_cpu
         and A.dtype == jnp.float32
         and N >= 16
         and not os.environ.get("SSQP_NO_PALLAS")
@@ -275,6 +281,41 @@ def kkt_solve(V, q, AG, bg, z, free, keep, ok_rtol=1e-8) -> KKTResult:
         & (relmax < ok_rtol)
     )
     return KKTResult(alpha, p, alphaL, gamma, ok)
+
+
+def recover_duals(V, q, AG, z, free, act_rows, ridge=None):
+    """Least-squares dual recovery at a solution (new capability — the
+    reference cannot produce duals at all, MOIwrapper.jl:255-257).
+
+    Given the final point ``z`` and its active set, fit the working-row
+    multipliers ``y`` so stationarity holds on the free coordinates:
+
+        minimize_y  || free ⊙ (V z + q + AG_act' y) ||
+
+    via ridge-stabilized normal equations (the ridge covers dependent active
+    rows, where the multiplier split is non-unique — any valid split is a
+    correct dual certificate). The bound multiplier is then the reduced
+    gradient ``gamma = V z + q + AG'(act ⊙ y)``: at optimum ``gamma >= 0``
+    on DN coordinates and ``<= 0`` on UP (same sign convention as the
+    S-loop's KKT check, reference SSQP.jl:139-147).
+
+    Returns (y, gamma) with y zero on inactive rows.
+    """
+    dtype = V.dtype
+    fm = free.astype(dtype)
+    grad = V @ z + q
+    if AG.shape[0] == 0:
+        return jnp.zeros((0,), dtype), grad
+    am = act_rows.astype(dtype)
+    if ridge is None:
+        ridge = 100.0 * float(jnp.finfo(dtype).eps)
+    Apf = AG * (am[:, None] * fm[None, :])
+    M1 = Apf @ Apf.T + jnp.diag((1.0 - am) + ridge * am)
+    M1 = (M1 + M1.T) / 2
+    y = -spd_solve(M1, Apf @ (fm * grad))
+    y = am * y
+    gamma = grad + AG.T @ y
+    return y, gamma
 
 
 def recover_dropped_multipliers(AG, free, keep, act_rows, alphaL, M: int):

@@ -125,6 +125,53 @@ def masked_gj_purge_col(A: jax.Array, b: jax.Array, row_mask: jax.Array, tol):
     return keep, jnp.any(bad_rows), bad_rows
 
 
+def masked_purge_qr(A: jax.Array, b: jax.Array, row_mask: jax.Array, tol):
+    """One-shot QR replacement for :func:`masked_gj_purge` (same contract).
+
+    The GJ sweep is an R-step sequential `fori_loop` — at R~100 working rows
+    that is ~100 latency-bound dependent dispatches per S-loop iteration,
+    which dominated the N=512 single-instance latency. Here the same greedy
+    row-order keep rule ("keep iff independent of the kept rows above", the
+    getRowsGJr semantics, utils.jl:49-86) comes from ONE Householder QR of
+    the masked rows transposed: |R_jj| is the norm of row j's residual
+    against the span of ALL previous rows, and dropped rows never extend
+    that span, so span(previous) == span(previous kept) — the criteria
+    coincide. Consistency of dropped rows (the rank([A b]) > rank(A) test)
+    is a ridge-stabilized least-squares reconstruction of their right-hand
+    sides from the kept rows.
+
+    Tolerance metric differs from GJ (2-norm residual vs max-abs pivot) by
+    at most a sqrt(C) factor — both flavors are "numerical rank at tol"
+    decisions the reference itself treats as tolerance-bounded.
+    """
+    R, C = A.shape
+    dtype = A.dtype
+    rm = row_mask.astype(dtype)
+    Am = A * rm[:, None]
+    # Reduced QR of (C, R); Rm is (min(C,R), R) upper-triangular.
+    Rm = jnp.linalg.qr(Am.T, mode="r")
+    diag = jnp.abs(jnp.diagonal(Rm))
+    if diag.shape[0] < R:  # more rows than columns: the tail cannot be kept
+        diag = jnp.concatenate(
+            [diag, jnp.zeros((R - diag.shape[0],), dtype)]
+        )
+    keep = (diag > tol) & row_mask
+
+    km = keep.astype(dtype)
+    Ak = Am * km[:, None]
+    ridge = jnp.asarray(float(jnp.finfo(dtype).eps), dtype)
+    M1 = Ak @ Ak.T + jnp.diag((1.0 - km) + ridge * km)
+    M1 = (M1 + M1.T) / 2
+    # coeffs[:, j] expresses row j in the kept-row basis
+    from ssqp_tpu.ops.kkt import spd_solve
+
+    X = spd_solve(M1, Ak @ Am.T)  # (R, R)
+    pred_b = X.T @ (km * b)
+    dropped = row_mask & ~keep
+    bad_rows = dropped & (jnp.abs(b * rm - pred_b) > tol)
+    return keep, jnp.any(bad_rows), bad_rows
+
+
 def independent_rows_gs(A: jax.Array, row_mask: jax.Array, tol):
     """Greedy independent-row subset via modified Gram-Schmidt.
 

@@ -65,7 +65,7 @@ def solve_qp_sharded(
     ax = qp_axes(Q, shared)
     in_specs = _spec_tree(Q, shared, axis)
     out_specs = (
-        Result(P(axis), P(axis), P(axis)),
+        Result(P(axis), P(axis), P(axis), P(axis), P(axis)),
         dict(solved=P(), iters_max=P(), infeasible=P()),
     )
 
@@ -86,9 +86,11 @@ def solve_qp_sharded(
     return fn(Q)
 
 
-def shard_batch(Q: QP, mesh: Mesh, shared: tuple = (), axis: str = "i") -> QP:
+def shard_batch(Q: QP, mesh: Mesh, shared: tuple = (), axis="i") -> QP:
     """Place a batched QP on the mesh: batch-sharded leaves, replicated shared
-    leaves. Amortizes host->device transfer before a sharded solve."""
+    leaves. Amortizes host->device transfer before a sharded solve.
+    ``axis`` may be a tuple of mesh axis names to shard the batch dimension
+    over several axes at once (2-D meshes)."""
     parts = {}
     for f in ("V", "A", "G", "q", "b", "g", "d", "u"):
         arr = getattr(Q, f)
@@ -96,3 +98,82 @@ def shard_batch(Q: QP, mesh: Mesh, shared: tuple = (), axis: str = "i") -> QP:
         parts[f] = jax.device_put(arr, NamedSharding(mesh, spec))
     return QP(parts["V"], parts["A"], parts["G"], parts["q"], parts["b"],
               parts["g"], parts["d"], parts["u"], Q.N, Q.M, Q.J, Q.mc)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (host, chip) mesh — multi-host scale-out
+# ---------------------------------------------------------------------------
+
+
+def make_mesh_2d(
+    n_hosts: Optional[int] = None,
+    chips_per_host: Optional[int] = None,
+    axes: tuple = ("host", "chip"),
+) -> Mesh:
+    """2-D device mesh shaped (hosts, chips-per-host).
+
+    The BASELINE north star is linear instance-throughput scaling to a pod:
+    instance parallelism wants the batch axis laid out so that the inner
+    ("chip") axis rides ICI and only the small psum'd statistics ever cross
+    the DCN ("host") axis. On a real multi-host deployment jax orders
+    `jax.devices()` host-major, so reshaping to (hosts, chips) puts each
+    row's devices on one host — XLA then lowers reductions hierarchically
+    (ICI within a row first, DCN across rows). Defaults infer the shape from
+    `jax.process_count()`.
+    """
+    devs = jax.devices()
+    if n_hosts is None:
+        n_hosts = max(jax.process_count(), 1)
+    if chips_per_host is None:
+        chips_per_host = len(devs) // n_hosts
+    devs = devs[: n_hosts * chips_per_host]
+    grid = np.asarray(devs).reshape(n_hosts, chips_per_host)
+    return Mesh(grid, axes)
+
+
+@partial(jax.jit, static_argnames=("settings", "shared", "mesh", "axes"))
+@highest_matmul
+def solve_qp_sharded_2d(
+    Q: QP,
+    settings: Settings,
+    mesh: Mesh,
+    shared: tuple = (),
+    axes: tuple = ("host", "chip"),
+):
+    """Solve a QP batch sharded over a 2-D (host, chip) mesh.
+
+    The batch dimension is sharded over BOTH axes (host-major), so each
+    device still owns batch/(hosts*chips) instances and runs the identical
+    local program as the 1-D path. Statistics are reduced hierarchically:
+    psum over the chip axis (ICI), then over the host axis (DCN) — only
+    scalars cross DCN, which is what makes the scaling linear.
+    """
+    from ssqp_tpu.solvers.ssqp import solve_qp_auto
+    from ssqp_tpu.parallel.batch import qp_axes
+
+    ax = qp_axes(Q, shared)
+    sp = {f: (P() if f in shared else P(axes)) for f in
+          ("V", "A", "G", "q", "b", "g", "d", "u")}
+    in_specs = QP(sp["V"], sp["A"], sp["G"], sp["q"], sp["b"], sp["g"],
+                  sp["d"], sp["u"], Q.N, Q.M, Q.J, Q.mc)
+    out_specs = (
+        Result(P(axes), P(axes), P(axes), P(axes), P(axes)),
+        dict(solved=P(), iters_max=P(), infeasible=P()),
+    )
+
+    def local(Qs: QP):
+        res = jax.vmap(lambda p: solve_qp_auto(p, settings), in_axes=(ax,))(Qs)
+        # hierarchical reduction: ICI first, then DCN
+        solved = jax.lax.psum(jax.lax.psum(jnp.sum(res.status > 0), axes[1]),
+                              axes[0])
+        infeas = jax.lax.psum(jax.lax.psum(jnp.sum(res.status == 0), axes[1]),
+                              axes[0])
+        iters = jax.lax.pmax(jax.lax.pmax(jnp.max(jnp.abs(res.status)),
+                                          axes[1]), axes[0])
+        return res, dict(solved=solved, iters_max=iters, infeasible=infeas)
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(Q)

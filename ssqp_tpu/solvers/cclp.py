@@ -87,12 +87,18 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
         B, in_basis, S, it = st.B, st.in_basis, st.S, st.it + 1
         A_B = A1[:, B]
         invB = st.invB
-        invB = invB @ (2.0 * jnp.eye(R, dtype=dtype) - A_B @ invB)
+        E = A_B @ invB
+        invB = invB @ (2.0 * jnp.eye(R, dtype=dtype) - E)
         xB = invB @ b1
         w = invB.T @ c1[B]
         h = c1 - A1.T @ w
+        # drift gate on the maintained inverse (same rationale as
+        # solvers/simplex.py): pre-refresh error beyond sqrt(tol) means
+        # Newton refinement no longer restores tol-level accuracy and a
+        # finite-but-wrong inverse could certify a wrong optimum.
+        drift = jnp.max(jnp.abs(E - jnp.eye(R, dtype=dtype))) > jnp.sqrt(tol)
         numbad = ~(jnp.all(jnp.isfinite(xB)) & jnp.all(jnp.isfinite(h))
-                   & jnp.all(jnp.isfinite(invB)))
+                   & jnp.all(jnp.isfinite(invB))) | drift
 
         dv = ~in_basis & (h < -tol)
         idxK = jnp.min(jnp.where(dv, arange, Nt))

@@ -80,7 +80,15 @@ def bounded_simplex(
         # no factorization inside the loop (see module docstring).
         A_B = Amat[:, B]
         invB = st.invB
-        invB = invB @ (2.0 * jnp.eye(R, dtype=dtype) - A_B @ invB)
+        E = A_B @ invB  # also the Newton-step ingredient below
+        invB = invB @ (2.0 * jnp.eye(R, dtype=dtype) - E)
+        # Maintained-inverse drift gate: one Newton step squares the error,
+        # so pre-refresh drift beyond sqrt(tol) means the refreshed inverse
+        # is no better than tol — and past drift ~1 Newton diverges and a
+        # finite-but-wrong inverse would certify a wrong optimum. Map such
+        # drift to the numerical-error status like the reference's failed
+        # factorization would (it refactorizes every pivot, Simplex.jl:590).
+        drift = jnp.max(jnp.abs(E - jnp.eye(R, dtype=dtype))) > jnp.sqrt(tol)
         w = invB.T @ c[B]  # A_B' w = c_B
         h = c - Amat.T @ w  # reduced costs (basic entries ~0)
         xn = jnp.where(in_basis, 0.0, x)
@@ -116,7 +124,7 @@ def bounded_simplex(
         numbad = ~(
             jnp.all(jnp.isfinite(w)) & jnp.all(jnp.isfinite(qv))
             & jnp.all(jnp.isfinite(invB))
-        ) | (anyc & ~jnp.all(jnp.isfinite(p)))
+        ) | (anyc & ~jnp.all(jnp.isfinite(p))) | drift
 
         # ---- ratio test (both entering directions, select by kd) --------------
         kd = S[k] == DN

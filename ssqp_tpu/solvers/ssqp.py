@@ -29,7 +29,9 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ssqp_tpu.ops.kkt import kkt_solve, kkt_solve_cg, recover_dropped_multipliers
+from ssqp_tpu.ops.kkt import (
+    kkt_solve, kkt_solve_cg, recover_dropped_multipliers, recover_duals,
+)
 from ssqp_tpu.ops.masked_gj import masked_gj_purge, masked_gj_purge_col
 from ssqp_tpu.types import DN, EO, IN, OE, QP, UP, Result, Settings
 from ssqp_tpu.utils.precision import highest_matmul
@@ -129,8 +131,15 @@ def solve_qp_loop(
         if R > 0:
             # Settings.pivot selects the redundancy-purge flavor
             # (reference getRowsGJr row pivoting vs getRowsGJ column
-            # pivoting, utils.jl:2-86)
-            purge = masked_gj_purge if settings.pivot == "row" else masked_gj_purge_col
+            # pivoting, utils.jl:2-86). At many working rows the GJ sweep's
+            # R sequential steps dominate single-instance latency, so the
+            # row flavor switches to the one-shot QR purge (identical greedy
+            # keep semantics, ops/masked_gj.py::masked_purge_qr).
+            if settings.pivot == "row" and R >= 16:
+                from ssqp_tpu.ops.masked_gj import masked_purge_qr
+                purge = masked_purge_qr
+            else:
+                purge = masked_gj_purge if settings.pivot == "row" else masked_gj_purge_col
             keep, inconsistent, bad_rows = purge(AG * fm[None, :], bE, act, tol)
         else:
             keep, inconsistent, bad_rows = (
@@ -384,16 +393,60 @@ def solve_qp_loop(
     return Result(st.z, S, status)
 
 
-@partial(jax.jit, static_argnames=("settings",))
+def _attach_duals(Q: QP, res: Result, settings: Optional[Settings] = None) -> Result:
+    """Finalize a solved QP: re-solve the free coordinates on the labeled
+    active set and attach least-squares dual certificates.
+
+    The loop's exit polish snaps coordinates within ``tol`` of a bound onto
+    it WITHOUT re-solving (reference polishSz!, SSQP.jl:10-32) — at f32
+    tolerances that alone injects ~1e-6-scale objective error into ~1% of
+    frontier instances. One extra working-set KKT solve from the snapped
+    pins restores equality feasibility and optimality on the labeled set;
+    it is accepted only if finite, primally feasible and not worse."""
+    J = Q.J
+    dtype = Q.V.dtype
+    AG = jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A
+    bg = jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b
+    Sx = res.S[: Q.N]
+    free = Sx == IN
+    act = (
+        jnp.concatenate([jnp.ones((Q.M,), bool), res.S[Q.N:] == EO])
+        if J > 0 else jnp.ones((Q.M,), bool)
+    )
+    x = res.x
+    ok = res.status > 0
+    if settings is not None:
+        ridge = jnp.asarray(100.0 * float(jnp.finfo(dtype).eps), dtype)
+        rp = kkt_solve_cg(Q.V, Q.q, AG, bg, x, free, act,
+                          jnp.asarray(settings.cg_iters, jnp.int32),
+                          settings.cg_rtol, ridge=ridge)
+        xp = jnp.clip(rp.alpha, Q.d, Q.u)
+        fobj = lambda xx: 0.5 * xx @ (Q.V @ xx) + Q.q @ xx
+        tol = jnp.asarray(settings.tol, dtype)
+        accept = (
+            ok & jnp.all(jnp.isfinite(xp))
+            & _primal_feasible(Q, xp, 10.0 * tol)
+            & (fobj(xp) <= fobj(x) + tol)
+        )
+        x = jnp.where(accept, xp, x)
+    lam, gamma = recover_duals(Q.V, Q.q, AG, x, free, act)
+    lam = jnp.where(ok, lam, jnp.zeros_like(lam)) if lam.shape[0] else lam
+    gamma = jnp.where(ok, gamma, jnp.zeros_like(gamma))
+    return Result(x, res.S, res.status, lam, gamma)
+
+
+@partial(jax.jit, static_argnames=("settings", "with_duals"))
 @highest_matmul
-def solve_qp_warm2(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> Result:
+def solve_qp_warm2(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None,
+                   with_duals: bool = True) -> Result:
     """Two-pass warm-started solve: fast multi-free loop with a capped
     iteration budget, then an exact reference-semantics loop from the same
     start for instances the fast pass failed to converge (cycling is possible
     once feasibility is traded away). Both passes share one compiled loop body
     via traced flags. Fully traced, so it vmaps/shard_maps."""
     if not settings.multi_free:
-        return solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=pre_status)
+        r = solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=pre_status)
+        return _attach_duals(Q, r, settings) if with_duals else r
     cap = min(settings.max_iter, Q.N + Q.J + 64)
     r1 = solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=pre_status,
                        mf_flag=True, max_iter=cap,
@@ -425,7 +478,8 @@ def solve_qp_warm2(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None) -> 
         x = jnp.where(esc, r3.x, x)
         S = jnp.where(esc, r3.S, S)
         status = jnp.where(esc, r3.status, status).astype(jnp.int32)
-    return Result(x, S, status)
+    r = Result(x, S, status)
+    return _attach_duals(Q, r, settings) if with_duals else r
 
 
 def solve_qp(
@@ -483,9 +537,6 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
     dtype = Q.V.dtype
     AG = jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A
     bg = jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b
-    eq_keep = jnp.concatenate(
-        [jnp.ones((M,), bool), jnp.zeros((J,), bool)]
-    ) if J > 0 else jnp.ones((M,), bool)
     cg_it = jnp.asarray(settings.cg_iters, jnp.int32)
     fu = jnp.isfinite(Q.u)
     fd = jnp.isfinite(Q.d)
@@ -494,30 +545,46 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
     ridge = jnp.asarray(100.0 * float(jnp.finfo(dtype).eps), dtype)
 
     def round_body(carry):
-        it, Sx, z, _ = carry
+        it, Sx, Se, z, _ = carry
         free = Sx == IN
+        keep = (
+            jnp.concatenate([jnp.ones((M,), bool), Se == EO])
+            if J > 0 else jnp.ones((M,), bool)
+        )
         zb = jnp.where(Sx == UP, Q.u, jnp.where(Sx == DN, Q.d, 0.0))
-        res = kkt_solve_cg(Q.V, Q.q, AG, bg, zb, free, eq_keep,
+        res = kkt_solve_cg(Q.V, Q.q, AG, bg, zb, free, keep,
                            cg_it, settings.cg_rtol, ridge=ridge)
         alpha, gamma = res.alpha, res.gamma
         up = (free & fu & (alpha >= Q.u)) | ((Sx == UP) & (gamma <= 0))
         dn = (free & fd & (alpha <= Q.d)) | ((Sx == DN) & (gamma >= 0))
         Sx_new = jnp.where(up, UP, jnp.where(dn, DN, IN)).astype(jnp.int8)
+        if J > 0:
+            # Inequality rows get the same semismooth update: activate
+            # rows the candidate violates, keep active rows whose
+            # multiplier sign is valid (mu >= 0, same convention as the
+            # S-loop's Lda check, SSQP.jl:149-172).
+            viol = Q.G @ alpha >= Q.g
+            muJ = res.alphaL[M:]
+            Se_new = jnp.where(
+                ((Se == OE) & viol) | ((Se == EO) & (muJ >= 0)), EO, OE
+            ).astype(jnp.int8)
+        else:
+            Se_new = Se
         z_new = jnp.clip(alpha, Q.d, Q.u)
-        changed = jnp.any(Sx_new != Sx)
-        return it + 1, Sx_new, z_new, changed
+        changed = jnp.any(Sx_new != Sx) | jnp.any(Se_new != Se)
+        return it + 1, Sx_new, Se_new, z_new, changed
 
     def round_cond(carry):
-        it, _, _, changed = carry
+        it, _, _, _, changed = carry
         return (it < rounds) & changed
 
     Sx0 = jnp.full((N,), IN, jnp.int8)
+    Se0 = jnp.full((J,), OE, jnp.int8)
     z0 = jnp.zeros((N,), dtype)
-    _, Sx, z, _ = jax.lax.while_loop(
+    _, Sx, Se, z, _ = jax.lax.while_loop(
         round_cond, round_body,
-        (jnp.asarray(0, jnp.int32), Sx0, z0, jnp.asarray(True)),
+        (jnp.asarray(0, jnp.int32), Sx0, Se0, z0, jnp.asarray(True)),
     )
-    Se = jnp.full((J,), OE, jnp.int8)
     return z, Sx, Se
 
 
@@ -531,24 +598,12 @@ def _primal_feasible(Q: QP, x, ftol):
     return ok
 
 
-@partial(jax.jit, static_argnames=("settings", "settings_lp"))
-@highest_matmul
-def solve_qp_auto(Q: QP, settings: Settings, settings_lp: Optional[Settings] = None) -> Result:
-    """Fully-traced auto solve (reference solveQP(Q::QP), SSQP.jl:224-234).
-
-    Jit-compatible end to end, so it `vmap`s over instance batches and
-    `shard_map`s over device meshes. Three-stage strategy (all stages share
-    ONE compiled loop body via traced flags; a finished instance passes
-    through later `lax.while_loop`s with its done flag already set):
-
-      1. guess pass — S-loop from the clipped equality-only solution
-         (:func:`_guess_start`); accepted only if the result converged AND is
-         primally feasible (the guess start cannot certify feasibility);
-      2. fast pass — Phase-1 simplex start + aggressive multi-free loop
-         (capped iterations);
-      3. exact pass — reference-semantics loop from the same Phase-1 state
-         with a 4x CG budget, for anything still unconverged.
-    """
+def solve_qp_auto_core(
+    Q: QP, settings: Settings, settings_lp: Optional[Settings] = None
+) -> Result:
+    """Three-stage auto solve, duals not attached (see :func:`solve_qp_auto`).
+    Split out so internal callers (frontier rescue branches) get a Result
+    whose pytree matches :func:`solve_qp_loop` outputs under `lax.cond`."""
     from ssqp_tpu.solvers.phase1 import init_qp_traced
 
     dtype = Q.V.dtype
@@ -570,8 +625,32 @@ def solve_qp_auto(Q: QP, settings: Settings, settings_lp: Optional[Settings] = N
 
     x0, Sx0, Se0, st1 = init_qp_traced(Q, settings_lp or settings)
     pre1 = jnp.where(okg, jnp.asarray(-9, jnp.int32), st1)
-    r2 = solve_qp_warm2(Q, Sx0, Se0, x0, settings, pre_status=pre1)
+    r2 = solve_qp_warm2(Q, Sx0, Se0, x0, settings, pre_status=pre1,
+                        with_duals=False)
     x = jnp.where(okg, rg.x, r2.x)
     S = jnp.where(okg, rg.S, r2.S)
     status = jnp.where(okg, rg.status, r2.status).astype(jnp.int32)
     return Result(x, S, status)
+
+
+@partial(jax.jit, static_argnames=("settings", "settings_lp"))
+@highest_matmul
+def solve_qp_auto(Q: QP, settings: Settings, settings_lp: Optional[Settings] = None) -> Result:
+    """Fully-traced auto solve (reference solveQP(Q::QP), SSQP.jl:224-234).
+
+    Jit-compatible end to end, so it `vmap`s over instance batches and
+    `shard_map`s over device meshes. Three-stage strategy (all stages share
+    ONE compiled loop body via traced flags; a finished instance passes
+    through later `lax.while_loop`s with its done flag already set):
+
+      1. guess pass — S-loop from the PDAS-identified active set
+         (:func:`_guess_start`); accepted only if the result converged AND is
+         primally feasible (the guess start cannot certify feasibility);
+      2. fast pass — Phase-1 simplex start + aggressive multi-free loop
+         (capped iterations);
+      3. exact pass — reference-semantics loop from the same Phase-1 state
+         with a 4x CG budget, for anything still unconverged.
+
+    Attaches least-squares dual certificates (Result.lam/.gamma).
+    """
+    return _attach_duals(Q, solve_qp_auto_core(Q, settings, settings_lp), settings)

@@ -352,19 +352,29 @@ def lp_from_qp(Q: QP, c=None) -> LP:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class Result:
-    """Solver output triple (x, S, status) as a pytree.
+    """Solver output (x, S, status[, lam, gamma]) as a pytree.
 
     Matches the reference contract: `x` the solution (N,), `S` int8 statuses of
     length N+J, `status` an int32 code (SSQP.jl:205-209). Batched solves carry
     a leading batch axis on every leaf.
+
+    ``lam``/``gamma`` are dual certificates the reference cannot produce
+    (ConstraintDual unsupported, MOIwrapper.jl:255-257): ``lam`` holds the
+    M+J working-row multipliers (sign: stationarity is
+    ``Vx + q + [A;G]'lam = gamma``; lam is free-sign on equality rows,
+    >= 0 on active inequality rows, 0 on inactive ones) and ``gamma`` the
+    reduced gradient (>= 0 at lower bounds, <= 0 at upper, ~0 on free
+    coordinates). ``None`` on engines/paths that do not compute them.
     """
 
     x: jax.Array
     S: jax.Array
     status: jax.Array
+    lam: Any = None
+    gamma: Any = None
 
     def tree_flatten(self):
-        return (self.x, self.S, self.status), None
+        return (self.x, self.S, self.status, self.lam, self.gamma), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):

@@ -91,6 +91,39 @@ class TestFrontierSweeps:
         assert np.all(np.asarray(f.status) > 0)
         np.testing.assert_allclose(np.asarray(f.ret), np.asarray(mus), atol=1e-7)
 
+    def test_mu_warm_sweep_agrees_with_cold(self):
+        from ssqp_tpu.models.frontier import frontier_mu_warm_sweep
+
+        V, rets = _market(N=12, seed=6)
+        Q = make_qp(V, np.zeros(12), u=np.full(12, 0.4))
+        mus = jnp.linspace(float(rets.min()) + 0.02,
+                           float(rets.max()) - 0.02, 12)
+        fc = frontier_mu_sweep(Q, jnp.asarray(rets), mus, SETTINGS)
+        fw = frontier_mu_warm_sweep(Q, jnp.asarray(rets), mus, SETTINGS)
+        assert np.all(np.asarray(fc.status) > 0)
+        assert np.all(np.asarray(fw.status) > 0)
+        np.testing.assert_allclose(np.asarray(fw.ret), np.asarray(mus),
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(fw.x), np.asarray(fc.x),
+                                   atol=1e-6)
+
+    def test_mu_warm_sweep_unachievable_point(self):
+        from ssqp_tpu.models.frontier import frontier_mu_warm_sweep
+
+        V, rets = _market(N=8, seed=7)
+        Q = make_qp(V, np.zeros(8))
+        # middle of the grid asks for a return above max(r): infeasible for
+        # 1'x=1, x>=0 — that point must report 0 and NOT poison the rest
+        good = float(rets.mean())
+        bad = float(rets.max()) + 0.5
+        mus = jnp.asarray([good, bad, good * 1.01])
+        f = frontier_mu_warm_sweep(Q, jnp.asarray(rets), mus, SETTINGS)
+        sts = np.asarray(f.status)
+        assert sts[0] > 0
+        assert sts[1] == 0, sts
+        assert sts[2] > 0, sts
+        np.testing.assert_allclose(float(f.ret[2]), good * 1.01, atol=1e-7)
+
 
 class TestRefinement:
     def test_refine_improves_f32(self):

@@ -149,3 +149,67 @@ def test_independent_rows_gs():
     mask = jnp.asarray([True, True, False, True, True])
     keep = independent_rows_gs(jnp.asarray(A), mask, 1e-9)
     assert not bool(keep[2])
+
+
+class TestQRPurge:
+    """masked_purge_qr must agree with the GJ sweep (same greedy keep
+    semantics) on every shape class the S-loop feeds it."""
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_matches_gj_on_random(self, seed):
+        from ssqp_tpu.ops.masked_gj import masked_purge_qr
+
+        rng = np.random.default_rng(seed)
+        R, C = 20, 32
+        A = rng.standard_normal((R, C))
+        # make some rows dependent on earlier ones
+        for j in (4, 9, 15):
+            A[j] = A[j - 2] * 1.5 - A[j - 4]
+        x = rng.standard_normal(C)
+        b = A @ x  # consistent
+        mask = jnp.asarray(rng.random(R) < 0.8)
+        k1, i1, _ = masked_gj_purge(jnp.asarray(A), jnp.asarray(b), mask, TOL)
+        k2, i2, _ = masked_purge_qr(jnp.asarray(A), jnp.asarray(b), mask, TOL)
+        assert not bool(i1) and not bool(i2)
+        np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+    def test_inconsistent_detected(self):
+        from ssqp_tpu.ops.masked_gj import masked_purge_qr
+
+        rng = np.random.default_rng(3)
+        R, C = 10, 16
+        A = rng.standard_normal((R, C))
+        A[6] = 2.0 * A[1] - A[3]
+        b = A @ rng.standard_normal(C)
+        b[6] += 0.5  # break consistency on the dependent row
+        keep, inc, bad = masked_purge_qr(
+            jnp.asarray(A), jnp.asarray(b), jnp.ones(R, bool), TOL
+        )
+        assert bool(inc)
+        assert bool(bad[6]) and int(np.asarray(bad).sum()) == 1
+        assert not bool(keep[6])
+
+    def test_more_rows_than_cols(self):
+        from ssqp_tpu.ops.masked_gj import masked_purge_qr
+
+        rng = np.random.default_rng(4)
+        R, C = 12, 5
+        A = rng.standard_normal((R, C))
+        b = A @ rng.standard_normal(C)
+        keep, inc, _ = masked_purge_qr(
+            jnp.asarray(A), jnp.asarray(b), jnp.ones(R, bool), TOL
+        )
+        assert int(np.asarray(keep).sum()) == C
+        assert not bool(inc)
+
+    def test_vmap(self):
+        from ssqp_tpu.ops.masked_gj import masked_purge_qr
+
+        rng = np.random.default_rng(5)
+        A = rng.standard_normal((4, 8, 12))
+        b = np.einsum("brc,bc->br", A, rng.standard_normal((4, 12)))
+        keep, inc, bad = jax.vmap(
+            lambda a, bb: masked_purge_qr(a, bb, jnp.ones(8, bool), TOL)
+        )(jnp.asarray(A), jnp.asarray(b))
+        assert keep.shape == (4, 8)
+        assert not bool(inc.any())

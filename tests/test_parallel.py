@@ -132,3 +132,32 @@ class TestSharded:
         res, stats = solve_qp_sharded(Qs, SETTINGS, mesh, shared=shared)
         assert int(stats["solved"]) == 32
         np.testing.assert_allclose(np.asarray(res.x).sum(axis=1), 1.0, atol=1e-8)
+
+
+class TestSharded2D:
+    def test_2d_mesh_matches_1d(self):
+        from ssqp_tpu.parallel.sharded import (
+            make_mesh, make_mesh_2d, shard_batch, solve_qp_sharded,
+            solve_qp_sharded_2d,
+        )
+
+        assert jax.device_count() >= 8
+        qps = [_rand_portfolio(s) for s in range(16)]
+        Qb = stack_qps(qps)
+        mesh1 = make_mesh(8)
+        Qs1 = shard_batch(Qb, mesh1)
+        r1, st1 = solve_qp_sharded(Qs1, SETTINGS, mesh1)
+        mesh2 = make_mesh_2d(2, 4)
+        Qs2 = shard_batch(Qb, mesh2, axis=("host", "chip"))
+        r2, st2 = solve_qp_sharded_2d(Qs2, SETTINGS, mesh2)
+        assert int(st1["solved"]) == 16
+        assert int(st2["solved"]) == 16
+        np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                                   atol=1e-9)
+
+    def test_2d_mesh_shapes(self):
+        from ssqp_tpu.parallel.sharded import make_mesh_2d
+
+        mesh = make_mesh_2d(4, 2)
+        assert mesh.devices.shape == (4, 2)
+        assert mesh.axis_names == ("host", "chip")
