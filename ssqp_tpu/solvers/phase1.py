@@ -112,9 +112,14 @@ def recover_x_status(x1, S1, std: Standardized, N: int, J: int):
 
 @partial(jax.jit, static_argnames=("settings",))
 @highest_matmul
-def init_qp_traced(Q: QP, settings: Settings):
+def init_qp_traced(Q: QP, settings: Settings, skip=None):
     """Phase-1 for the QP path. Returns (x0, Sx, Se, status) as traced arrays;
-    status: 1 feasible, 0 infeasible, -1 numerical error."""
+    status: 1 feasible, 0 infeasible, -1 numerical error.
+
+    ``skip`` (traced bool): the caller already has an accepted start for
+    this instance and will discard this result — the simplex enters its
+    while_loop pre-done so fully-skipped batches pay ~nothing (the
+    PDAS-guess fast path, solvers/ssqp.py::solve_qp_auto_core)."""
     N, M, J = Q.N, Q.M, Q.J
     dtype = Q.V.dtype
     if M + J == 0:
@@ -135,6 +140,7 @@ def init_qp_traced(Q: QP, settings: Settings):
     lp_status, x1, B1, S1, _ = bounded_simplex(
         c1, std.A1, std.b0, std.d1, std.u1, std.B0, std.S0, std.x0, std.real,
         tol=settings.tol, max_iter=settings.max_iter, rule=settings.rule,
+        pre_done=skip,
     )
     f_art = jnp.sum(x1[N0:])
     xo, Sx, Se = recover_x_status(x1, S1, std, N, J)

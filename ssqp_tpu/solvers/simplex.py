@@ -52,13 +52,20 @@ class SimplexState(NamedTuple):
 
 
 def bounded_simplex(
-    c, Amat, b, d, u, B0, S0, x0, real, *, tol, max_iter, rule: str = "dantzig"
+    c, Amat, b, d, u, B0, S0, x0, real, *, tol, max_iter, rule: str = "dantzig",
+    pre_done=None,
 ):
     """Run the bounded-variable simplex. Returns (status, x, B, S, iters).
 
     All arguments are fixed-shape arrays; `real` masks out padded dummy
     columns (zero column, d=u=0) from candidacy and from the
     infinitely-many-solutions check.
+
+    ``pre_done`` (traced bool) marks an instance whose result will be
+    discarded by the caller (e.g. Phase-1 for an instance whose warm-start
+    guess was already accepted): it enters the `lax.while_loop` with its
+    done flag set and status 1, so a batch where every instance is pre-done
+    skips the loop entirely.
     """
     Nt = c.shape[0]
     R = b.shape[0]
@@ -195,14 +202,15 @@ def bounded_simplex(
     # initial basis inverse computed OUTSIDE the loop (where XLA's solver
     # primitives are fast); inside, the inverse is maintained incrementally
     invB0 = jnp.linalg.inv(Amat[:, B0])
+    pd = jnp.asarray(False) if pre_done is None else jnp.asarray(pre_done, bool)
     st0 = SimplexState(
         B0.astype(jnp.int32),
         S0.astype(jnp.int8),
         x0.astype(dtype),
         invB0.astype(dtype),
         jnp.asarray(0, jnp.int32),
-        jnp.asarray(False),
-        jnp.asarray(0, jnp.int32),
+        pd,
+        jnp.where(pd, 1, 0).astype(jnp.int32),
     )
     st = jax.lax.while_loop(cond, body, st0)
     status = jnp.where(st.done, st.status, -max_iter).astype(jnp.int32)

@@ -623,7 +623,7 @@ def solve_qp_auto_core(
     ftol = jnp.asarray(10.0 * settings.tol, dtype)
     okg = (rg.status > 0) & _primal_feasible(Q, rg.x, ftol)
 
-    x0, Sx0, Se0, st1 = init_qp_traced(Q, settings_lp or settings)
+    x0, Sx0, Se0, st1 = init_qp_traced(Q, settings_lp or settings, skip=okg)
     pre1 = jnp.where(okg, jnp.asarray(-9, jnp.int32), st1)
     r2 = solve_qp_warm2(Q, Sx0, Se0, x0, settings, pre_status=pre1,
                         with_duals=False)
