@@ -84,8 +84,17 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2) -> Res
     keep, _, _ = masked_gj_purge(AGf * fm[None, :], bE, act, settings.tol)
 
     K, rhs, AG, bg = _kkt_matrix(Q, free, keep, z)
-    lufac = lu_factor(K)
-    s = lu_solve(lufac, rhs)
+
+    # Factorization dtype: XLA's TPU LuDecomposition is f32-only (an f64 K
+    # fails to COMPILE, not just run slowly), so off-CPU the factor is always
+    # f32 and the f64 accuracy comes entirely from the refinement sweeps —
+    # the classic mixed-precision recipe (factor low, residual high). On CPU
+    # (tests / conformance) an f64 problem keeps its f64 LU: one solve is
+    # then already accurate and ``iters`` sweeps just polish roundoff.
+    fac_dtype = dtype if jax.default_backend() == "cpu" else jnp.float32
+    Kf = K.astype(fac_dtype)
+    lufac = lu_factor(Kf)
+    s = lu_solve(lufac, rhs.astype(fac_dtype))
 
     # float64 residuals when x64 is enabled (CPU / conformance runs); on a
     # TPU with x64 off this degrades gracefully to working-precision
@@ -99,10 +108,13 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2) -> Res
     # semantics: the answer is higher-precision than the work dtype)
     def sweep64(s64, _):
         r64 = rhs64 - K64 @ s64
-        e = lu_solve(lufac, r64.astype(dtype))
+        e = lu_solve(lufac, r64.astype(fac_dtype))
         return s64 + e.astype(hi), jnp.max(jnp.abs(r64))
 
-    s64, resid = jax.lax.scan(sweep64, s.astype(hi), None, length=iters)
+    # With an f32 factor, each sweep shrinks the error by ~cond(K)*eps_f32;
+    # reaching f64 accuracy needs a few more passes than an f64 factor would.
+    n_sweeps = iters if jnp.dtype(fac_dtype) == jnp.dtype(hi) else max(iters, 6)
+    s64, resid = jax.lax.scan(sweep64, s.astype(hi), None, length=n_sweeps)
     x_ref = s64[:N]
 
     # Acceptance guard: the refined point solves the LABELED active set
