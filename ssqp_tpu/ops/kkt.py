@@ -102,7 +102,7 @@ def _vp_apply(V, fm, x):
     return fm[:, None] * (V @ (x * fm[:, None])) + bmx
 
 
-def cg_solve_padded(V, fm, B, iters, rtol):
+def cg_solve_padded(V, fm, B, iters, rtol, X0=None):
     """Jacobi-preconditioned conjugate gradients on ``Vp X = B`` (multi-rhs).
 
     The padded operator's spectrum is {eigs of V_FF} ∪ {1}; with the usual
@@ -113,6 +113,11 @@ def cg_solve_padded(V, fm, B, iters, rtol):
     TRACED bound (the fast/exact solver passes share one compiled body);
     per-column convergence freezing keeps extra iterations free of drift.
 
+    ``X0`` warm-starts the iteration (columns already within tolerance do
+    zero work thanks to the per-column convergence freeze) — used by the
+    PDAS warm-start heuristic, whose successive rounds solve nearly the same
+    system (solvers/ssqp.py::_guess_start).
+
     Returns (X, rel_residual (K,)).
     """
     dtype = V.dtype
@@ -120,8 +125,12 @@ def cg_solve_padded(V, fm, B, iters, rtol):
     bnorm2 = jnp.maximum(jnp.sum(B * B, axis=0), 1e-30)
     tol2 = (rtol * rtol) * bnorm2
 
-    X = jnp.zeros_like(B)
-    r = B
+    if X0 is None:
+        X = jnp.zeros_like(B)
+        r = B
+    else:
+        X = X0
+        r = B - _vp_apply(V, fm, X0)
     zp = r * dinv[:, None]
     p = zp
     rz = jnp.sum(r * zp, axis=0)
@@ -152,7 +161,7 @@ def cg_solve_padded(V, fm, B, iters, rtol):
 
 
 def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol,
-                 ok_rtol=1e-3, ridge=0.0) -> KKTResult:
+                 ok_rtol=1e-3, ridge=0.0, x0=None, return_sol=False):
     """CG variant of :func:`kkt_solve` — same contract, factorization-free.
 
     ``cg_iters``/``rtol`` may be traced. The (R, R) Schur system still uses a
@@ -164,6 +173,9 @@ def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol,
     ``ridge`` adds a Tikhonov term to the Schur complement — used only by the
     warm-start heuristic, where the working set may momentarily leave the
     equality system rank-deficient (an exact solver run never passes ridge).
+    ``x0`` warm-starts the multi-RHS CG ((N, 1+R) — the previous round's raw
+    solution), and ``return_sol`` additionally returns that raw solution so
+    a caller iterating on nearby systems can carry it (PDAS rounds).
     """
     dtype = V.dtype
     fm = free.astype(dtype)
@@ -178,14 +190,14 @@ def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol,
     bp = km * (bg - AG @ zB)
 
     if AG.shape[0] == 0:
-        w, rel = cg_solve_padded(V, fm, cp[:, None], cg_iters, rtol)
-        w = w[:, 0]
+        sol, rel = cg_solve_padded(V, fm, cp[:, None], cg_iters, rtol, X0=x0)
+        w = sol[:, 0]
         alphaL = jnp.zeros((0,), dtype)
         alpha_f = -w
         relmax = jnp.max(rel, initial=0.0)
     else:
         rhs = jnp.concatenate([cp[:, None], Ap.T], axis=1)
-        sol, rel = cg_solve_padded(V, fm, rhs, cg_iters, rtol)
+        sol, rel = cg_solve_padded(V, fm, rhs, cg_iters, rtol, X0=x0)
         relmax = jnp.max(rel, initial=0.0)
         w, mT = sol[:, 0], sol[:, 1:]
         C = Ap @ mT
@@ -207,7 +219,8 @@ def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol,
         & jnp.all(jnp.isfinite(alphaL))
         & (relmax < ok_rtol)
     )
-    return KKTResult(alpha, p, alphaL, gamma, ok)
+    res = KKTResult(alpha, p, alphaL, gamma, ok)
+    return (res, sol) if return_sol else res
 
 
 def kkt_solve(V, q, AG, bg, z, free, keep, ok_rtol=1e-8) -> KKTResult:

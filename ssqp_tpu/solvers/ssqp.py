@@ -532,12 +532,18 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
     whose sign releases the right side of the box. Rounds stop early when
     the status vector reaches a fixed point. Purely a heuristic: the caller
     validates the outcome (converged + primal feasible) and falls back to
-    Phase-1."""
+    Phase-1.
+
+    Cost control (this heuristic is ~all of the headline batch solve time):
+    the rounds run on the cheap CG budget (Settings.pdas_cg_iters /
+    pdas_rtol — identification needs signs, not solver-accuracy residuals),
+    and each round warm-starts its multi-RHS CG from the previous round's
+    raw solution (successive rounds differ only in a few mask entries)."""
     N, M, J = Q.N, Q.M, Q.J
     dtype = Q.V.dtype
     AG = jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A
     bg = jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b
-    cg_it = jnp.asarray(settings.cg_iters, jnp.int32)
+    cg_it = jnp.asarray(settings.pdas_cg_iters, jnp.int32)
     fu = jnp.isfinite(Q.u)
     fd = jnp.isfinite(Q.d)
     # Heuristic-only regularization (see docstring); scaled well above
@@ -545,15 +551,16 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
     ridge = jnp.asarray(100.0 * float(jnp.finfo(dtype).eps), dtype)
 
     def round_body(carry):
-        it, Sx, Se, z, _ = carry
+        it, Sx, Se, z, sol, _ = carry
         free = Sx == IN
         keep = (
             jnp.concatenate([jnp.ones((M,), bool), Se == EO])
             if J > 0 else jnp.ones((M,), bool)
         )
         zb = jnp.where(Sx == UP, Q.u, jnp.where(Sx == DN, Q.d, 0.0))
-        res = kkt_solve_cg(Q.V, Q.q, AG, bg, zb, free, keep,
-                           cg_it, settings.cg_rtol, ridge=ridge)
+        res, sol = kkt_solve_cg(Q.V, Q.q, AG, bg, zb, free, keep,
+                                cg_it, settings.pdas_rtol, ridge=ridge,
+                                x0=sol, return_sol=True)
         alpha, gamma = res.alpha, res.gamma
         up = (free & fu & (alpha >= Q.u)) | ((Sx == UP) & (gamma <= 0))
         dn = (free & fd & (alpha <= Q.d)) | ((Sx == DN) & (gamma >= 0))
@@ -572,18 +579,19 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
             Se_new = Se
         z_new = jnp.clip(alpha, Q.d, Q.u)
         changed = jnp.any(Sx_new != Sx) | jnp.any(Se_new != Se)
-        return it + 1, Sx_new, Se_new, z_new, changed
+        return it + 1, Sx_new, Se_new, z_new, sol, changed
 
     def round_cond(carry):
-        it, _, _, _, changed = carry
+        it, _, _, _, _, changed = carry
         return (it < rounds) & changed
 
     Sx0 = jnp.full((N,), IN, jnp.int8)
     Se0 = jnp.full((J,), OE, jnp.int8)
     z0 = jnp.zeros((N,), dtype)
-    _, Sx, Se, z, _ = jax.lax.while_loop(
+    sol0 = jnp.zeros((N, 1 + M + J), dtype)
+    _, Sx, Se, z, _, _ = jax.lax.while_loop(
         round_cond, round_body,
-        (jnp.asarray(0, jnp.int32), Sx0, Se0, z0, jnp.asarray(True)),
+        (jnp.asarray(0, jnp.int32), Sx0, Se0, z0, sol0, jnp.asarray(True)),
     )
     return z, Sx, Se
 

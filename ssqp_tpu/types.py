@@ -106,6 +106,14 @@ class Settings:
     kkt_cg: bool = True
     cg_iters: int = 128
     cg_rtol: float = 1e-14  # must sit well below tolG; see for_dtype
+    # CG budget for the PDAS warm-start heuristic's rounds (solvers/ssqp.py::
+    # _guess_start). PDAS only needs the sign/threshold structure of the
+    # equality solve — not solver-accuracy residuals — and its outcome is
+    # validated (converged + primal feasible) before acceptance, so it runs
+    # a much cheaper solve than the S-loop's. These dominate headline cost:
+    # profiling shows the PDAS rounds are ~100% of the N=256 batch solve.
+    pdas_cg_iters: int = 128
+    pdas_rtol: float = 1e-10
     # Acceptance gate on the KKT solve's relative residual (CG residual and
     # the Schur/primal residuals of either path). Above it the iteration is
     # flagged a numerical error (status -1) exactly like a failed reference
@@ -128,6 +136,7 @@ class Settings:
             # f32 eps ~ 1.19e-7; reference f64 tolerances are unreachable.
             return Settings(tol=2.0**-16, tolG=2.0**-20, dtype=jnp.float32,
                             cg_iters=64, cg_rtol=1e-7, cg_ok_rtol=2e-3,
+                            pdas_cg_iters=24, pdas_rtol=1e-4,
                             escalate_direct=False)
         return Settings(dtype=dtype)
 
