@@ -1,0 +1,112 @@
+"""Stage-level wall-time breakdown of the headline solve (N=256 frontier).
+
+Measurement hygiene (see bench.py): inputs are pre-transferred and synced
+BEFORE the timed region (jax.device_put is async — timing a fresh batch's
+first use measures the axon tunnel's ~40 MB/s host->device path, not the
+solver), every rep uses different data (the backend memoizes identical
+dispatches), and materialization inside the timed region is a small
+device-side checksum (block_until_ready does not block through axon).
+
+Stages:
+  1. PDAS guess identification alone (_guess_start)
+  2. guess pass = PDAS + capped S-loop
+  3. full auto core (guess + Phase-1[skip] + warm2 passes)
+  4. full auto with dual attachment (what bench.py runs)
+"""
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+from ssqp_tpu.types import Settings, make_qp
+from ssqp_tpu.parallel.batch import frontier_batch, qp_axes
+from ssqp_tpu.solvers import ssqp as S
+from ssqp_tpu.utils.precision import highest_matmul
+
+N = int(os.environ.get("PROF_N", 256))
+batch = int(os.environ.get("PROF_BATCH", 8192))
+REPS = int(os.environ.get("PROF_REPS", 3))
+dtype = jnp.float32
+
+settings = Settings.for_dtype(dtype)
+rng = np.random.default_rng(7)
+H = rng.standard_normal((N, N))
+V = H @ H.T / N + 0.5 * np.eye(N)
+mu = rng.uniform(0.0, 0.2, N)
+Q = make_qp(np.asarray(V, np.float32), np.asarray(mu, np.float32),
+            u=np.full(N, 4.0 / N, np.float32), dtype=np.float32)
+AX = qp_axes(Q, ("V", "A", "G", "b", "g", "d", "u"))
+
+
+def make_b(i):
+    lams = jnp.linspace(0.001 * i, 2.0 + 0.001 * i, batch, dtype=dtype)
+    Qb, _ = frontier_batch(Q, lams)
+    return jax.device_put(Qb)
+
+
+BATCHES = [make_b(i) for i in range(REPS + 1)]
+for b in BATCHES:
+    np.asarray(b.q.sum())  # force transfer completion before timing
+
+
+@jax.jit
+@highest_matmul
+def stage_pdas(Qb):
+    z = jax.vmap(lambda q: S._guess_start(q, settings)[0], in_axes=(AX,))(Qb)
+    return z.sum(axis=1)
+
+
+@jax.jit
+@highest_matmul
+def stage_guess(Qb):
+    def one(q):
+        zg, Sxg, Seg = S._guess_start(q, settings)
+        cap = min(settings.max_iter, q.N + q.J + 64)
+        r = S.solve_qp_loop(q, Sxg, Seg, zg, settings,
+                            mf_flag=True, max_iter=min(cap, 16),
+                            cg_iters=settings.cg_iters)
+        return r.x, r.status
+    x, status = jax.vmap(one, in_axes=(AX,))(Qb)
+    return x.sum(axis=1), status
+
+
+@jax.jit
+@highest_matmul
+def stage_core(Qb):
+    r = jax.vmap(lambda q: S.solve_qp_auto_core(q, settings), in_axes=(AX,))(Qb)
+    return r.x.sum(axis=1), r.status
+
+
+@jax.jit
+@highest_matmul
+def stage_full(Qb):
+    r = jax.vmap(lambda q: S.solve_qp_auto(q, settings), in_axes=(AX,))(Qb)
+    return r.x.sum(axis=1), r.status
+
+
+def timeit(name, fn):
+    np.asarray(jax.tree_util.tree_leaves(fn(BATCHES[0]))[0])  # compile+warm
+    ts, out = [], None
+    for b in BATCHES[1:]:
+        t0 = time.perf_counter()
+        out = fn(b)
+        jax.tree_util.tree_map(np.asarray, out)
+        ts.append(time.perf_counter() - t0)
+    print(f"{name:12s} min {np.min(ts)*1e3:8.1f} ms  med {np.median(ts)*1e3:8.1f} ms")
+    return np.min(ts), out
+
+
+t1, _ = timeit("pdas", stage_pdas)
+t2, gout = timeit("guess_pass", stage_guess)
+t3, _ = timeit("auto_core", stage_core)
+t4, _ = timeit("auto+duals", stage_full)
+st = np.asarray(gout[1])
+ok = st > 0
+print(f"guess-pass accepted (converged, pre-feas-check): {ok.sum()}/{batch}; "
+      f"S-loop iters med {np.median(st[ok]):.0f} max {st[ok].max() if ok.any() else -1}")
+print(f"breakdown (min): pdas {t1*1e3:.0f} | +loop16 {(t2-t1)*1e3:.0f} | "
+      f"+p1/warm2 {(t3-t2)*1e3:.0f} | +duals {(t4-t3)*1e3:.0f} ms")

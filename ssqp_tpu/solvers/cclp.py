@@ -85,12 +85,15 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
 
     def body(st: _CCState) -> _CCState:
         B, in_basis, S, it = st.B, st.in_basis, st.S, st.it + 1
-        A_B = A1[:, B]
+        # one-hot basis contraction instead of a lane-dimension gather —
+        # MXU work beats serialized gather HLOs on TPU (see simplex.py body)
+        OH = (B[:, None] == arange[None, :]).astype(dtype)  # (R, Nt)
+        A_B = A1 @ OH.T
         invB = st.invB
         E = A_B @ invB
         invB = invB @ (2.0 * jnp.eye(R, dtype=dtype) - E)
         xB = invB @ b1
-        w = invB.T @ c1[B]
+        w = invB.T @ (OH @ c1)
         h = c1 - A1.T @ w
         # drift gate on the maintained inverse (same rationale as
         # solvers/simplex.py): pre-refresh error beyond sqrt(tol) means
@@ -117,7 +120,7 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
         # the SMALLEST basic index among y > tol (the reference's J[1] on a
         # sorted basis, CCLP.jl:156-164), by value comparison here ----------
         k_in = jnp.where(idxK < Nt, idxK, 0).astype(jnp.int32)
-        y_in = invB @ A1[:, k_in]
+        y_in = invB @ (A1 @ (arange == k_in).astype(dtype))
         rows = y_in > tol
         unb = entering & ~jnp.any(rows)  # status 3 (CCLP.jl:159-161)
         rpos_in = jnp.argmin(jnp.where(rows, B, Nt))
@@ -138,7 +141,7 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
         do_pivot = ~stop
 
         # product-form inverse update for the exchange at row rpos
-        yk = jnp.where(entering, y_in, invB @ A1[:, k])
+        yk = jnp.where(entering, y_in, invB @ (A1 @ (arange == k).astype(dtype)))
         e_r = (jnp.arange(R) == rpos).astype(dtype)
         y_r = jnp.where(jnp.abs(yk[rpos]) > 0, yk[rpos], jnp.ones((), dtype))
         invB_piv = invB - jnp.outer((yk - e_r) / y_r, invB[rpos, :])

@@ -80,12 +80,18 @@ def bounded_simplex(
 
     def body(st: SimplexState) -> SimplexState:
         B, S, x, it = st.B, st.S, st.x, st.it + 1
-        in_basis = jnp.zeros((Nt,), bool).at[B].set(True)
+        # One-hot basis matrix: ALL basis gathers/scatters below become MXU
+        # matmuls with OH instead of gather/scatter HLOs — on TPU a gather
+        # along the lane (column) dimension serializes, while an
+        # (R, Nt) x (Nt, R) one-hot contraction is a few M MACs of systolic
+        # work per iteration.
+        OH = (B[:, None] == arange[None, :]).astype(dtype)  # (R, Nt)
+        in_basis = jnp.any(B[:, None] == arange[None, :], axis=0)
         # One Newton step keeps the maintained inverse at machine accuracy:
         # invB <- invB (2I - A_B invB) squares the inverse error, undoing the
         # drift of the rank-1 product-form updates below. Two small GEMMs —
         # no factorization inside the loop (see module docstring).
-        A_B = Amat[:, B]
+        A_B = Amat @ OH.T
         invB = st.invB
         E = A_B @ invB  # also the Newton-step ingredient below
         invB = invB @ (2.0 * jnp.eye(R, dtype=dtype) - E)
@@ -96,11 +102,11 @@ def bounded_simplex(
         # drift to the numerical-error status like the reference's failed
         # factorization would (it refactorizes every pivot, Simplex.jl:590).
         drift = jnp.max(jnp.abs(E - jnp.eye(R, dtype=dtype))) > jnp.sqrt(tol)
-        w = invB.T @ c[B]  # A_B' w = c_B
+        w = invB.T @ (OH @ c)  # A_B' w = c_B
         h = c - Amat.T @ w  # reduced costs (basic entries ~0)
         xn = jnp.where(in_basis, 0.0, x)
         qv = invB @ (b - Amat @ xn)  # basic values
-        xb = jnp.zeros((Nt,), dtype).at[B].set(qv)
+        xb = OH.T @ qv  # scatter qv to basic positions
         x2 = jnp.where(in_basis, xb, x)
 
         ht = jnp.where(S == DN, -h, h)  # sign-flip so improving is ht > tol
@@ -120,14 +126,18 @@ def bounded_simplex(
             k_rule = jnp.argmax(jnp.where(cand, se, -_INF))
         elif rule == "max_improvement":
             Y = invB @ Amat  # (R, Nt) all candidate columns
-            theta = _all_ratio(Y, qv, S, B, d, u, ud, fu, tol)
+            db_a = OH @ d
+            sel_f = OH @ fu.astype(dtype)
+            ub_a = jnp.where(sel_f > 0.5, OH @ jnp.where(fu, u, 0.0), _INF)
+            theta = _all_ratio(Y, qv, S, db_a, ub_a, ud, fu, tol)
             k_rule = jnp.argmax(jnp.where(cand, jnp.abs(ht * theta), -_INF))
         else:
             raise ValueError(f"unknown pivot rule {rule!r}")
         k_bland = jnp.argmin(jnp.where(cand, arange, Nt + 1))
         k = jnp.where(bland, k_bland, k_rule).astype(jnp.int32)
 
-        p = invB @ Amat[:, k]
+        ek = (arange == k).astype(dtype)
+        p = invB @ (Amat @ ek)
         numbad = ~(
             jnp.all(jnp.isfinite(w)) & jnp.all(jnp.isfinite(qv))
             & jnp.all(jnp.isfinite(invB))
@@ -135,7 +145,11 @@ def bounded_simplex(
 
         # ---- ratio test (both entering directions, select by kd) --------------
         kd = S[k] == DN
-        db, ub = d[B], u[B]
+        db = OH @ d  # d is finite by contract
+        # u may be +inf: a one-hot matmul through inf produces 0*inf = NaN,
+        # so gather the finite part and re-mark infinite selections.
+        sel_fin = OH @ fu.astype(dtype)
+        ub = jnp.where(sel_fin > 0.5, OH @ jnp.where(fu, u, 0.0), _INF)
         pos = p > tol
         neg = p < -tol
         lo_g = (qv - db) / jnp.where(p == 0, 1.0, p)
@@ -217,10 +231,11 @@ def bounded_simplex(
     return status, st.x, st.B, st.S, st.it
 
 
-def _all_ratio(Y, qv, S, B, d, u, ud, fu, tol):
+def _all_ratio(Y, qv, S, db, ub, ud, fu, tol):
     """Vectorized ratio test over every column (greatest-improvement rule,
-    Simplex.jl:678-759): step length theta_k achievable by each candidate."""
-    db, ub = d[B], u[B]
+    Simplex.jl:678-759): step length theta_k achievable by each candidate.
+    ``db``/``ub`` are the basic variables' bounds (one-hot-gathered by the
+    caller)."""
     pos = Y > tol
     neg = Y < -tol
     Ysafe = jnp.where(Y == 0, 1.0, Y)
