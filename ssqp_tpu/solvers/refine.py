@@ -81,10 +81,6 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2) -> Res
     AGf = (jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A)
     fm = free.astype(dtype)
     bE = (jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b) - AGf @ (z * (1 - fm))
-    keep, _, _ = masked_gj_purge(AGf * fm[None, :], bE, act, settings.tol)
-
-    K, rhs, AG, bg = _kkt_matrix(Q, free, keep, z)
-
     # Factorization dtype: XLA's TPU LuDecomposition is f32-only (an f64 K
     # fails to COMPILE, not just run slowly), so off-CPU the factor is always
     # f32 and the f64 accuracy comes entirely from the refinement sweeps —
@@ -92,6 +88,26 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2) -> Res
     # (tests / conformance) an f64 problem keeps its f64 LU: one solve is
     # then already accurate and ``iters`` sweeps just polish roundoff.
     fac_dtype = dtype if jax.default_backend() == "cpu" else jnp.float32
+    # Same purge policy as the S-loop (solvers/ssqp.py): at many working
+    # rows the GJ sweep's R sequential fori steps dominate latency, so use
+    # the one-shot QR keep-mask instead (identical greedy keep semantics).
+    # The purge is a rank DECISION, not a solution: it runs in the factor
+    # dtype (f64 QR is emulated-or-unsupported on TPU, and the S-loop that
+    # chose this active set made all its rank calls in the search dtype).
+    # A settings.tol below the purge dtype's resolution would mis-keep
+    # numerically dependent rows, so floor it at the f32-tier tol.
+    Ap = (AGf * fm[None, :]).astype(fac_dtype)
+    bp = bE.astype(fac_dtype)
+    tol_p = (max(float(settings.tol), 2.0**-16)
+             if jnp.dtype(fac_dtype) == jnp.float32 else settings.tol)
+    if (M + J) >= 16:
+        from ssqp_tpu.ops.masked_gj import masked_purge_qr
+
+        keep, _, _ = masked_purge_qr(Ap, bp, act, tol_p)
+    else:
+        keep, _, _ = masked_gj_purge(Ap, bp, act, tol_p)
+
+    K, rhs, AG, bg = _kkt_matrix(Q, free, keep, z)
     Kf = K.astype(fac_dtype)
     lufac = lu_factor(Kf)
     s = lu_solve(lufac, rhs.astype(fac_dtype))

@@ -53,6 +53,28 @@ class TestPivotRulesAtScale:
         assert abs(f - f_ref) < 1e-6 * max(1.0, abs(f_ref)), (rule, seed)
 
 
+class TestPivotRulesInfiniteUpper:
+    """Infinite upper bounds through every pivot rule's ratio test: the
+    basic-bound gathers are one-hot contractions, and 0*inf through a
+    matmul is NaN, so +inf entries are re-marked after the contraction
+    (simplex.py body / _all_ratio). A u=+inf LP with a bounded optimum
+    must still match HiGHS under all three rules."""
+
+    @pytest.mark.parametrize("rule", ["dantzig", "steepest_edge",
+                                      "max_improvement"])
+    @pytest.mark.parametrize("seed", [3, 4])
+    def test_rule_inf_upper_matches_highs(self, rule, seed):
+        c, A, b, G, g = _rand_lp(seed)
+        c = np.abs(c)  # keep min c'x over x>=0 bounded without upper bounds
+        f_ref = _scipy_opt(c, A, b, G, g, hi=None)
+        P = make_lp(c, A, b, G=G, g=g, d=np.zeros(len(c)),
+                    u=np.full(len(c), np.inf))
+        r = simplex_lp(P, settings=Settings(rule=rule))
+        assert int(r.status) in (1, 2), (rule, seed, int(r.status))
+        f = float(np.asarray(P.c) @ np.asarray(r.x))
+        assert abs(f - f_ref) < 1e-6 * max(1.0, abs(f_ref)), (rule, seed)
+
+
 class TestColumnPivotFlavor:
     """Settings.pivot='column' (reference getRowsGJ, utils.jl:2-45) on QPs
     with redundant working rows at N=50."""
