@@ -64,11 +64,11 @@ def stage_pdas(Qb):
 @highest_matmul
 def stage_guess(Qb):
     def one(q):
-        zg, Sxg, Seg = S._guess_start(q, settings)
+        zg, Sxg, Seg, solg = S._guess_start(q, settings)
         cap = min(settings.max_iter, q.N + q.J + 64)
         r = S.solve_qp_loop(q, Sxg, Seg, zg, settings,
                             mf_flag=True, max_iter=min(cap, 16),
-                            cg_iters=settings.cg_iters)
+                            cg_iters=settings.cg_iters, sol0=solg)
         return r.x, r.status
     x, status = jax.vmap(one, in_axes=(AX,))(Qb)
     return x.sum(axis=1), status

@@ -129,8 +129,12 @@ def cg_solve_padded(V, fm, B, iters, rtol, X0=None):
         X = jnp.zeros_like(B)
         r = B
     else:
-        X = X0
-        r = B - _vp_apply(V, fm, X0)
+        # A (near-)zero RHS column's exact solution is 0; a stale warm-start
+        # there would leave a residual that can never reach rtol*||b|| and
+        # burn the whole iteration budget, so such columns restart at 0.
+        live = (jnp.sum(B * B, axis=0) > 1e-30)[None, :]
+        X = jnp.where(live, X0, 0.0)
+        r = B - _vp_apply(V, fm, X)
     zp = r * dinv[:, None]
     p = zp
     rz = jnp.sum(r * zp, axis=0)

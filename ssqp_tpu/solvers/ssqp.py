@@ -46,6 +46,10 @@ class _LoopState(NamedTuple):
     it: jax.Array  # int32 iteration counter
     done: jax.Array  # bool
     status: jax.Array  # int32 result code (valid when done)
+    sol: jax.Array  # (N, 1+R) raw multi-RHS CG solution of the last KKT
+    # solve — warm-starts the next iteration's CG (successive working sets
+    # differ in a few mask entries, so most columns start near-converged;
+    # per-column freezing in cg_solve_padded makes stale columns cheap).
 
 
 def _polish(z, Sx, Se, d, u, G, g, tol):
@@ -81,7 +85,7 @@ def _free_k(z, Sx, V, q, tol):
 @highest_matmul
 def solve_qp_loop(
     Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None,
-    mf_flag=None, max_iter=None, cg_iters=None,
+    mf_flag=None, max_iter=None, cg_iters=None, sol0=None,
 ) -> Result:
     """Run the S-loop from a warm start (reference solveQP(Q, S, x0),
     SSQP.jl:237-377). ``Sx0``/``Se0`` are int8 status arrays, ``x0`` a feasible
@@ -151,12 +155,14 @@ def solve_qp_loop(
         aggr = mf_v & (it <= N + J + 16)
 
         if settings.kkt_cg:
-            res = kkt_solve_cg(V, q, AG, bg, z, free, keep,
-                               cg_it, settings.cg_rtol,
-                               ok_rtol=settings.cg_ok_rtol)
+            res, sol_n = kkt_solve_cg(V, q, AG, bg, z, free, keep,
+                                      cg_it, settings.cg_rtol,
+                                      ok_rtol=settings.cg_ok_rtol,
+                                      x0=st.sol, return_sol=True)
         else:
             res = kkt_solve(V, q, AG, bg, z, free, keep,
                             ok_rtol=settings.cg_ok_rtol)
+            sol_n = st.sol
         alpha, p, gamma = res.alpha, res.p, res.gamma
         # An inconsistent working system is a numerical error in reference
         # semantics (SSQP.jl:310-319). Aggressive row activation can
@@ -373,7 +379,7 @@ def solve_qp_loop(
             jnp.asarray(0, jnp.int32),
             it,
         ).astype(jnp.int32)
-        return _LoopState(z_n, Sx_n, Se_n, it, done_n, status_n)
+        return _LoopState(z_n, Sx_n, Se_n, it, done_n, status_n, sol_n)
 
     def cond(st: _LoopState):
         return (~st.done) & (st.it < max_it)
@@ -386,6 +392,8 @@ def solve_qp_loop(
         jnp.asarray(0, jnp.int32),
         pre <= 0,
         jnp.where(pre <= 0, pre, 0).astype(jnp.int32),
+        (jnp.zeros((N, 1 + R), dtype) if sol0 is None
+         else sol0.astype(dtype)),
     )
     st = jax.lax.while_loop(cond, body, st0)
     status = jnp.where(st.done, st.status, -max_it).astype(jnp.int32)
@@ -589,11 +597,14 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
     Se0 = jnp.full((J,), OE, jnp.int8)
     z0 = jnp.zeros((N,), dtype)
     sol0 = jnp.zeros((N, 1 + M + J), dtype)
-    _, Sx, Se, z, _, _ = jax.lax.while_loop(
+    _, Sx, Se, z, sol, _ = jax.lax.while_loop(
         round_cond, round_body,
         (jnp.asarray(0, jnp.int32), Sx0, Se0, z0, sol0, jnp.asarray(True)),
     )
-    return z, Sx, Se
+    # ``sol`` is the final round's raw CG solution: the S-loop's first
+    # iteration solves (nearly) the same system at full accuracy, so it
+    # warm-starts from here (solve_qp_auto_core passes it as sol0).
+    return z, Sx, Se, sol
 
 
 def _primal_feasible(Q: QP, x, ftol):
@@ -624,10 +635,10 @@ def solve_qp_auto_core(
     # the clipped set IS the active set) or churns (tight bounds pin far too
     # much) — so give it a short budget and fail over quickly.
     guess_cap = min(cap, 16)
-    zg, Sxg, Seg = _guess_start(Q, settings)
+    zg, Sxg, Seg, solg = _guess_start(Q, settings)
     rg = solve_qp_loop(Q, Sxg, Seg, zg, settings,
                        mf_flag=True, max_iter=guess_cap,
-                       cg_iters=settings.cg_iters)
+                       cg_iters=settings.cg_iters, sol0=solg)
     ftol = jnp.asarray(10.0 * settings.tol, dtype)
     okg = (rg.status > 0) & _primal_feasible(Q, rg.x, ftol)
 
