@@ -102,39 +102,10 @@ def _vp_apply(V, fm, x):
     return fm[:, None] * (V @ (x * fm[:, None])) + bmx
 
 
-def cg_solve_padded(V, fm, B, iters, rtol, X0=None):
-    """Jacobi-preconditioned conjugate gradients on ``Vp X = B`` (multi-rhs).
-
-    The padded operator's spectrum is {eigs of V_FF} ∪ {1}; with the usual
-    PSD-plus-ridge objectives its condition number is small, so a few dozen
-    MXU matvec iterations reach f32 accuracy — on TPU this beats any
-    factorization: there is no N-sequential dependency at all, and batching
-    over instances turns the matvecs into one big GEMM. Iteration count is a
-    TRACED bound (the fast/exact solver passes share one compiled body);
-    per-column convergence freezing keeps extra iterations free of drift.
-
-    ``X0`` warm-starts the iteration (columns already within tolerance do
-    zero work thanks to the per-column convergence freeze) — used by the
-    PDAS warm-start heuristic, whose successive rounds solve nearly the same
-    system (solvers/ssqp.py::_guess_start).
-
-    Returns (X, rel_residual (K,)).
-    """
-    dtype = V.dtype
-    dinv = 1.0 / (fm * jnp.diag(V) + (1.0 - fm))
-    bnorm2 = jnp.maximum(jnp.sum(B * B, axis=0), 1e-30)
-    tol2 = (rtol * rtol) * bnorm2
-
-    if X0 is None:
-        X = jnp.zeros_like(B)
-        r = B
-    else:
-        # A (near-)zero RHS column's exact solution is 0; a stale warm-start
-        # there would leave a residual that can never reach rtol*||b|| and
-        # burn the whole iteration budget, so such columns restart at 0.
-        live = (jnp.sum(B * B, axis=0) > 1e-30)[None, :]
-        X = jnp.where(live, X0, 0.0)
-        r = B - _vp_apply(V, fm, X)
+def _vp_cg_xla(V, fm, B, dinv, tol2, iters, X0):
+    """XLA while-loop CG on ``Vp X = B`` (multi-rhs) from warm start ``X0``.
+    Returns (X, final squared residual per column)."""
+    r = B - _vp_apply(V, fm, X0)
     zp = r * dinv[:, None]
     p = zp
     rz = jnp.sum(r * zp, axis=0)
@@ -158,9 +129,92 @@ def cg_solve_padded(V, fm, B, iters, rtol, X0=None):
         return (i < iters) & jnp.any(jnp.sum(r * r, axis=0) > tol2)
 
     _, X, r, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), X, r, p, rz)
+        cond, body, (jnp.asarray(0, jnp.int32), X0, r, p, rz)
     )
-    rel = jnp.sqrt(jnp.sum(r * r, axis=0) / bnorm2)
+    return X, jnp.sum(r * r, axis=0)
+
+
+@custom_vmap
+def _vp_cg(V, fm, B, dinv, tol2, iters, X0):
+    """CG core with a batching rule: instance-batched calls with a SHARED
+    operator can dispatch to the fused Pallas kernel (ops/pallas_cg.py),
+    which keeps the CG state VMEM-resident across iterations. Measured at
+    the headline shape (N=256, batch 8192, 64 cold iterations) the fused
+    kernel is PARITY with the XLA loop (7.0 vs 6.6 ms per solve — XLA
+    already fuses the elementwise chain and the loop is MXU-bound, not
+    HBM-bound as the per-iteration state sizes suggested), so the Pallas
+    path is opt-IN via SSQP_PALLAS_CG=1 rather than the default."""
+    return _vp_cg_xla(V, fm, B, dinv, tol2, iters, X0)
+
+
+@_vp_cg.def_vmap
+def _vp_cg_vmap(axis_size, in_batched, V, fm, B, dinv, tol2, iters, X0):
+    import os
+
+    V_b, fm_b, B_b, dinv_b, tol2_b, it_b, X0_b = in_batched
+    dd = jax.config.jax_default_device
+    on_cpu = dd is not None and getattr(dd, "platform", None) == "cpu"
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and not on_cpu
+        and V.dtype == jnp.float32
+        and not V_b  # shared operator only: the batch flattens into rows
+        and not it_b
+        and bool(os.environ.get("SSQP_PALLAS_CG"))
+        and not os.environ.get("SSQP_NO_PALLAS")
+    )
+    bcast = lambda x, b: x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+    if use_pallas:
+        from ssqp_tpu.ops.pallas_cg import cg_padded_batch
+
+        X, rr = cg_padded_batch(
+            V, bcast(fm, fm_b), bcast(B, B_b), bcast(dinv, dinv_b),
+            bcast(tol2, tol2_b), iters, bcast(X0, X0_b),
+        )
+    else:
+        axes = tuple(0 if b else None for b in
+                     (V_b, fm_b, B_b, dinv_b, tol2_b, False, X0_b))
+        X, rr = jax.vmap(_vp_cg_xla, in_axes=axes)(
+            V, fm, B, dinv, tol2, iters, X0
+        )
+    return (X, rr), (True, True)
+
+
+def cg_solve_padded(V, fm, B, iters, rtol, X0=None):
+    """Jacobi-preconditioned conjugate gradients on ``Vp X = B`` (multi-rhs).
+
+    The padded operator's spectrum is {eigs of V_FF} ∪ {1}; with the usual
+    PSD-plus-ridge objectives its condition number is small, so a few dozen
+    MXU matvec iterations reach f32 accuracy — on TPU this beats any
+    factorization: there is no N-sequential dependency at all, and batching
+    over instances turns the matvecs into one big GEMM (shared-operator
+    batches further dispatch to the fused VMEM-resident Pallas CG, see
+    :func:`_vp_cg`). Iteration count is a TRACED bound (the fast/exact
+    solver passes share one compiled body); per-column convergence freezing
+    keeps extra iterations free of drift.
+
+    ``X0`` warm-starts the iteration (columns already within tolerance do
+    zero work thanks to the per-column convergence freeze) — used by the
+    PDAS warm-start heuristic, whose successive rounds solve nearly the same
+    system (solvers/ssqp.py::_guess_start).
+
+    Returns (X, rel_residual (K,)).
+    """
+    dinv = 1.0 / (fm * jnp.diag(V) + (1.0 - fm))
+    bnorm2 = jnp.maximum(jnp.sum(B * B, axis=0), 1e-30)
+    tol2 = (rtol * rtol) * bnorm2
+
+    if X0 is None:
+        X = jnp.zeros_like(B)
+    else:
+        # A (near-)zero RHS column's exact solution is 0; a stale warm-start
+        # there would leave a residual that can never reach rtol*||b|| and
+        # burn the whole iteration budget, so such columns restart at 0.
+        live = (jnp.sum(B * B, axis=0) > 1e-30)[None, :]
+        X = jnp.where(live, X0, 0.0)
+    X, rr = _vp_cg(V, fm, B, dinv, tol2,
+                   jnp.asarray(iters, jnp.int32), X)
+    rel = jnp.sqrt(rr / bnorm2)
     return X, rel
 
 
