@@ -127,25 +127,51 @@ def config2():
         return jax.device_put(Pb)
 
     shared = ("A", "G", "d", "u")
-    batches = [lp_batch(i) for i in range(3)]
-    for Pb in batches:
-        np.asarray(Pb.c.sum())
+    # Chained throughput protocol (see bench.py): the timed batches run in
+    # ONE dispatch; per-instance objectives + statuses force every solve.
+    import dataclasses
+
+    reps = 2
+    Pb0 = lp_batch(0)
+    stacks = [lp_batch(1 + i) for i in range(reps)]
+    CBG = jax.device_put((
+        jnp.stack([p.c for p in stacks]),
+        jnp.stack([p.b for p in stacks]),
+        jnp.stack([p.g for p in stacks]),
+    ))
+    np.asarray(CBG[0].sum())
 
     @jax.jit
-    def _lp_checksum(Pb, r):
-        f = jnp.sum(Pb.c * r.x, axis=1)
-        return jnp.stack([f, r.status.astype(f.dtype)])
+    def chained(CBG):
+        cS, bS, gS = CBG
 
-    times, solved = [], 0
-    for i, Pb in enumerate(batches):
-        t0 = time.perf_counter()
-        r = solve_lp_batch(Pb, s, shared=shared)
-        chk = np.asarray(_lp_checksum(Pb, r))
-        if i:
-            times.append(time.perf_counter() - t0)
-        solved += int((chk[1] >= 1).sum())
-    print(f"config2 batched solved {solved}/{3 * B}", file=sys.stderr)
-    _emit("lp_n100_batch256_lps", B / float(np.mean(times)), "LP/s")
+        def body(i, acc):
+            F, ST = acc
+            Pb = dataclasses.replace(Pb0, c=cS[i], b=bS[i], g=gS[i])
+            r = solve_lp_batch(Pb, s, shared=shared)
+            f = jnp.sum(Pb.c * r.x, axis=1)
+            return (F.at[i].set(f), ST.at[i].set(r.status))
+
+        return jax.lax.fori_loop(
+            0, reps, body,
+            (jnp.zeros((reps, B), jnp.float32),
+             jnp.zeros((reps, B), jnp.int32)))
+
+    warm = jax.device_put((
+        jnp.broadcast_to(Pb0.c, (reps,) + Pb0.c.shape),
+        jnp.broadcast_to(Pb0.b, (reps,) + Pb0.b.shape),
+        jnp.broadcast_to(Pb0.g, (reps,) + Pb0.g.shape),
+    ))
+    np.asarray(warm[0].sum())
+    np.asarray(chained(warm)[1])
+    t0 = time.perf_counter()
+    F, ST = chained(CBG)
+    ST = np.asarray(ST)
+    _ = np.asarray(F)
+    lps = B / ((time.perf_counter() - t0) / reps)
+    solved = int((ST >= 1).sum())
+    print(f"config2 batched solved {solved}/{reps * B}", file=sys.stderr)
+    _emit("lp_n100_batch256_lps", lps, "LP/s")
 
 
 def config3():

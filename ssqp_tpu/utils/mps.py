@@ -31,9 +31,13 @@ def read_mps(source) -> "Model":
     """
     from ssqp_tpu.model import Model
 
+    import os
+
     if hasattr(source, "read"):
         text = source.read()
-    elif isinstance(source, str) and "\n" not in source:
+    elif isinstance(source, os.PathLike) or (
+        isinstance(source, str) and "\n" not in source
+    ):
         with open(source) as fh:
             text = fh.read()
     else:

@@ -44,6 +44,14 @@ def test_read_from_string_and_file_object():
     assert abs(m1.objective_value() - m2.objective_value()) < 1e-12
 
 
+def test_read_from_pathlike():
+    import pathlib
+
+    m = read_mps(pathlib.Path(DATA) / "simple_lp.mps")  # os.PathLike
+    m.optimize()
+    assert abs(m.objective_value() - (-8.0)) < 1e-8
+
+
 def test_objsense_max():
     text = """NAME MAXLP
 OBJSENSE
