@@ -52,6 +52,37 @@ BATCHES = [make_b(i) for i in range(REPS + 1)]
 for b in BATCHES:
     np.asarray(b.q.sum())  # force transfer completion before timing
 
+# stacked q-grids for the chained timer (one dispatch per stage measurement;
+# a host round trip through the axon tunnel costs ~40 ms — comparable to the
+# stages themselves — so per-dispatch stage timing mostly measures the
+# harness; see bench.py)
+QSTACK = jax.device_put(jnp.stack([b.q for b in BATCHES[1:]]))
+np.asarray(QSTACK.sum())
+import dataclasses
+
+Q0 = BATCHES[0]
+
+
+def chained_timer(stage_fn):
+    """Time REPS runs of stage_fn inside one dispatch; return s/batch."""
+
+    @jax.jit
+    def run(qstack):
+        def body(i, acc):
+            out = stage_fn(dataclasses.replace(Q0, q=qstack[i]))
+            leaves = jax.tree_util.tree_leaves(out)
+            return acc + sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+        return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
+
+    warm = jnp.broadcast_to(Q0.q, (REPS,) + Q0.q.shape)
+    np.asarray(run(warm))
+    ts = []
+    for rep in range(2):
+        t0 = time.perf_counter()
+        np.asarray(run(QSTACK + 1e-5 * rep))
+        ts.append((time.perf_counter() - t0) / REPS)
+    return min(ts)
+
 
 @jax.jit
 @highest_matmul
@@ -89,24 +120,19 @@ def stage_full(Qb):
 
 
 def timeit(name, fn):
-    np.asarray(jax.tree_util.tree_leaves(fn(BATCHES[0]))[0])  # compile+warm
-    ts, out = [], None
-    for b in BATCHES[1:]:
-        t0 = time.perf_counter()
-        out = fn(b)
-        jax.tree_util.tree_map(np.asarray, out)
-        ts.append(time.perf_counter() - t0)
-    print(f"{name:12s} min {np.min(ts)*1e3:8.1f} ms  med {np.median(ts)*1e3:8.1f} ms")
-    return np.min(ts), out
+    t = chained_timer(fn)
+    print(f"{name:12s} {t*1e3:8.1f} ms/batch (chained, min of 2)")
+    return t
 
 
-t1, _ = timeit("pdas", stage_pdas)
-t2, gout = timeit("guess_pass", stage_guess)
-t3, _ = timeit("auto_core", stage_core)
-t4, _ = timeit("auto+duals", stage_full)
+t1 = timeit("pdas", stage_pdas)
+t2 = timeit("guess_pass", stage_guess)
+t3 = timeit("auto_core", stage_core)
+t4 = timeit("auto+duals", stage_full)
+gout = stage_guess(BATCHES[1])
 st = np.asarray(gout[1])
 ok = st > 0
 print(f"guess-pass accepted (converged, pre-feas-check): {ok.sum()}/{batch}; "
       f"S-loop iters med {np.median(st[ok]):.0f} max {st[ok].max() if ok.any() else -1}")
-print(f"breakdown (min): pdas {t1*1e3:.0f} | +loop16 {(t2-t1)*1e3:.0f} | "
+print(f"breakdown: pdas {t1*1e3:.0f} | +loop16 {(t2-t1)*1e3:.0f} | "
       f"+p1/warm2 {(t3-t2)*1e3:.0f} | +duals {(t4-t3)*1e3:.0f} ms")
