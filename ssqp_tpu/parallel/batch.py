@@ -90,6 +90,40 @@ def solve_lp_batch(
     )(P)
 
 
+def solve_qp_batch_refined(
+    Q: QP,
+    *,
+    settings: Optional[Settings] = None,
+    iters: int = 2,
+    search_dtype=None,
+    shared: tuple = (),
+) -> Result:
+    """Batched high-accuracy solve: fast-dtype active-set search + per-instance
+    iterative refinement of the final KKT system against the full-precision
+    data (the BigFloat-tier recipe of solvers/refine.py, vmapped).
+
+    ``search_dtype=jnp.float32`` on a float64 batch runs the combinatorial
+    search at TPU speed and recovers f64 accuracy in the refinement sweeps.
+    Dual certificates are not re-derived for the refined point; call
+    ``recover_duals`` on the output if needed.
+    """
+    from ssqp_tpu.solvers.refine import refine_result
+
+    settings = settings or Settings.for_dtype(Q.V.dtype)
+    if search_dtype is not None and jnp.dtype(search_dtype) != Q.V.dtype:
+        Qs = jax.tree.map(lambda a: a.astype(search_dtype), Q)
+        s_search = Settings.for_dtype(search_dtype)
+    else:
+        Qs, s_search = Q, settings
+    res = solve_qp_batch(Qs, s_search, shared=shared)
+    res = Result(res.x.astype(Q.V.dtype), res.S, res.status)
+    ax = qp_axes(Q, shared)
+    return jax.vmap(
+        lambda p, r: refine_result(p, r, settings, iters),
+        in_axes=(ax, Result(0, 0, 0)),
+    )(Q, res)
+
+
 def stack_qps(qps) -> QP:
     """Stack a list of same-shape QPs into one batched QP pytree."""
     q0 = qps[0]

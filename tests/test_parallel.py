@@ -105,6 +105,26 @@ class TestBatch:
         np.testing.assert_allclose(res.x[0], [1.0, 3.0], atol=1e-8)
         np.testing.assert_allclose(res.x[1], [1.0, 3.0], atol=1e-8)
 
+    def test_batch_refined_mixed_precision(self):
+        """f32 search + f64 refinement per instance beats the raw f32 batch
+        (the config-4 accuracy tier, batched)."""
+        from ssqp_tpu.parallel.batch import solve_qp_batch_refined
+
+        qps = [_rand_portfolio(s, N=24) for s in range(4)]
+        Qb = stack_qps(qps)  # float64 data
+        ref = solve_qp_batch(Qb, SETTINGS)  # trusted full-f64 solve
+        res = solve_qp_batch_refined(Qb, search_dtype=jnp.float32)
+        assert np.all(np.asarray(res.status) > 0)
+        x64 = np.asarray(ref.x)
+        xr = np.asarray(res.x)
+        # raw f32 search for comparison
+        Q32 = jax.tree.map(lambda a: a.astype(jnp.float32), Qb)
+        r32 = solve_qp_batch(Q32, Settings.for_dtype(jnp.float32))
+        err_raw = np.abs(np.asarray(r32.x, np.float64) - x64).max()
+        err_ref = np.abs(xr - x64).max()
+        assert err_ref < 1e-9, err_ref
+        assert err_ref < err_raw
+
 
 class TestSharded:
     def test_mesh_solve_matches_vmap(self):
