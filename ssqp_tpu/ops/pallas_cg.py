@@ -67,6 +67,11 @@ def _cg_kernel(iters_ref, v_ref, fm_ref, dinv_ref, b_ref, tol2_ref,
     dinv = dinv_ref[:]
     tol2 = tol2_ref[:]
     x_ref[:] = x0_ref[:]
+    # explicit-dtype constants: under jax_enable_x64, Python float literals
+    # lower as f64 scalars inside Mosaic (no weak-type narrowing) and fail
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    eps = jnp.asarray(1e-30, dtype)
 
     def vp(x):
         # rows of x are systems; y[c, :] = V @ (fm[c] . x[c]) via (x.fm) V^T
@@ -76,7 +81,7 @@ def _cg_kernel(iters_ref, v_ref, fm_ref, dinv_ref, b_ref, tol2_ref,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=dtype,
         )
-        return fm * y + (1.0 - fm) * x
+        return fm * y + (one - fm) * x
 
     r0 = b_ref[:] - vp(x_ref[:])
     r_s[:] = r0
@@ -91,13 +96,14 @@ def _cg_kernel(iters_ref, v_ref, fm_ref, dinv_ref, b_ref, tol2_ref,
         p = p_s[:]
         Ap = vp(p)
         pAp = jnp.sum(p * Ap, axis=1, keepdims=True)
-        alpha = jnp.where(alive & (pAp > 0), rz / jnp.maximum(pAp, 1e-30), 0.0)
+        alpha = jnp.where(alive & (pAp > zero),
+                          rz / jnp.maximum(pAp, eps), zero)
         x_ref[:] = x_ref[:] + alpha * p
         r = r_s[:] - alpha * Ap
         r_s[:] = r
         zn = r * dinv
         rzn = jnp.sum(r * zn, axis=1, keepdims=True)
-        beta = jnp.where(alive, rzn / jnp.maximum(rz, 1e-30), 0.0)
+        beta = jnp.where(alive, rzn / jnp.maximum(rz, eps), zero)
         p_s[:] = zn + beta * p
         rrn = jnp.sum(r * r, axis=1, keepdims=True)
         return rzn, rrn
@@ -106,20 +112,30 @@ def _cg_kernel(iters_ref, v_ref, fm_ref, dinv_ref, b_ref, tol2_ref,
     # steps, not every step (converged rows are frozen per-step by the alive
     # mask regardless — overshooting the check costs compute only, and a
     # tile may run up to CHUNK-1 iterations past the traced budget, which
-    # callers treat as a cap, not a contract).
+    # callers treat as a cap, not a contract). The reduction lives in the
+    # BODY and the cond reads a carried scalar: Mosaic's while lowering
+    # cannot legalize vector reductions inside the cond region (and a bool
+    # any-reduction additionally routes through float64 under x64).
     CHUNK = 8
 
+    def alive_flag(rr):
+        return (jnp.max(rr - tol2) > zero).astype(jnp.int32)
+
     def cond(carry):
-        i, rz, rr = carry
-        return (i < iters_ref[0]) & jnp.any(rr > tol2)
+        i, go, rz, rr = carry
+        return (i < iters_ref[0]) & (go > 0)
 
     def body(carry):
-        i, rz, rr = carry
-        rz, rr = jax.lax.fori_loop(0, CHUNK, step, (rz, rr))
-        return i + CHUNK, rz, rr
+        i, go, rz, rr = carry
+        # int32 loop bounds: under jax_enable_x64 plain-int bounds make an
+        # i64 induction variable, which Mosaic fails to legalize
+        rz, rr = jax.lax.fori_loop(
+            jnp.asarray(0, jnp.int32), jnp.asarray(CHUNK, jnp.int32),
+            step, (rz, rr))
+        return i + CHUNK, alive_flag(rr), rz, rr
 
-    _, _, rr = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), rz0, rr0)
+    _, _, _, rr = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), alive_flag(rr0), rz0, rr0)
     )
     rr_ref[:] = rr
 
@@ -176,7 +192,13 @@ def cg_padded_rows(V, fmr, dinvr, Br, tol2r, iters, X0r, interpret=False):
 
     grid = (Cp // T,)
     it_arr = jnp.reshape(jnp.asarray(iters, jnp.int32), (1,))
-    X, rr = pl.pallas_call(
+    # Trace the kernel with x64 disabled: under jax_enable_x64 the literal
+    # constants in index maps / loop bounds stage as i64/f64, which Mosaic
+    # fails to legalize ("func.return"(i64), f64 squeeze). Every value in
+    # this kernel is explicitly 32-bit, so the local scope changes nothing
+    # semantically.
+    with jax.enable_x64(False):
+        X, rr = pl.pallas_call(
         _cg_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((Cp, Nl), dtype),

@@ -120,7 +120,11 @@ def chol_solve_batch(A, RHS, tile: int = 8):
         tile //= 2
     grid = (B // tile,)
     rhs_t = jnp.swapaxes(RHS, 1, 2)  # (B, K, N): lanes = N inside the kernel
-    out_t = pl.pallas_call(
+    # Trace with x64 disabled: under jax_enable_x64 the Python-int literals
+    # in index maps / fori bounds stage as i64 and Mosaic fails to legalize
+    # them (see ops/pallas_cg.py). All kernel values are explicitly 32-bit.
+    with jax.enable_x64(False):
+        out_t = pl.pallas_call(
         _chol_solve_kernel,
         out_shape=jax.ShapeDtypeStruct((B, K, N), A.dtype),
         grid=grid,
