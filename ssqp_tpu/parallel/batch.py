@@ -90,6 +90,19 @@ def solve_lp_batch(
     )(P)
 
 
+@partial(jax.jit, static_argnames=("settings", "shared"))
+@highest_matmul
+def solve_lp_batch_cclp(P: LP, settings: Settings, shared: tuple = ()) -> Result:
+    """Solve a batch of LPs by the least-index criss-cross method — the
+    batched analogue of the reference's exported `solveLP` (CCLP.jl:289).
+    No Phase-1: each instance starts from its projected-reduced-cost basis,
+    so infeasible instances exit with status 0 without a feasibility pass."""
+    from ssqp_tpu.solvers.cclp import solve_lp_traced
+
+    ax = lp_axes(P, shared)
+    return jax.vmap(lambda p: solve_lp_traced(p, settings), in_axes=(ax,))(P)
+
+
 def solve_qp_batch_refined(
     Q: QP,
     *,

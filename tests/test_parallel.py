@@ -105,6 +105,24 @@ class TestBatch:
         np.testing.assert_allclose(res.x[0], [1.0, 3.0], atol=1e-8)
         np.testing.assert_allclose(res.x[1], [1.0, 3.0], atol=1e-8)
 
+    def test_lp_batch_cclp(self):
+        """Batched criss-cross agrees with batched simplex, and an infeasible
+        instance inside the batch exits 0 without affecting siblings."""
+        from ssqp_tpu.parallel.batch import solve_lp_batch_cclp
+
+        c = np.array([-1.0, -2.0])
+        G = np.array([[1.0, 1.0]])
+        P1 = make_lp(c, G=G, g=np.array([4.0]), u=[3.0, 3.0])
+        P2 = make_lp(c, G=G, g=np.array([-1.0]),
+                     u=[3.0, 3.0])  # x1+x2 <= -1 with x >= 0: infeasible
+        P3 = make_lp(2 * c, G=G, g=np.array([4.0]), u=[3.0, 3.0])
+        Pb = jax.tree.map(lambda *xs: jnp.stack(xs), P1, P2, P3)
+        res = solve_lp_batch_cclp(Pb, SETTINGS)
+        st = np.asarray(res.status)
+        assert st[0] >= 1 and st[2] >= 1 and st[1] == 0, st
+        np.testing.assert_allclose(res.x[0], [1.0, 3.0], atol=1e-8)
+        np.testing.assert_allclose(res.x[2], [1.0, 3.0], atol=1e-8)
+
     def test_batch_refined_mixed_precision(self):
         """f32 search + f64 refinement per instance beats the raw f32 batch
         (the config-4 accuracy tier, batched)."""
