@@ -160,6 +160,7 @@ def _vp_cg_vmap(axis_size, in_batched, V, fm, B, dinv, tol2, iters, X0):
         and V.dtype == jnp.float32
         and not V_b  # shared operator only: the batch flattens into rows
         and not it_b
+        and V.shape[0] <= 768  # the double-buffered V block must fit VMEM
         and bool(os.environ.get("SSQP_PALLAS_CG"))
         and not os.environ.get("SSQP_NO_PALLAS")
     )

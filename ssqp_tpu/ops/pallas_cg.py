@@ -144,10 +144,14 @@ def _row_tile(N: int) -> int:
     """Systems per grid program. VMEM demand per (T, N) f32 buffer is DOUBLED
     for the pipelined inputs (Pallas double-buffers in/out blocks to overlap
     the next tile's DMA with compute); a 5.5 MB nominal budget for the six
-    live buffers keeps the peak just under the 16 MB scoped limit (measured
-    at N=256: 6 MB nominal = 16.09 MB demand, 88 KB over; 5.5 MB fits)."""
-    budget = int(5.5 * 2**20) // (6 * N * 4)
-    return max(8, min(2048, (budget // 8) * 8))
+    live row buffers keeps the peak just under the 16 MB scoped limit
+    (measured at N=256: 6 MB nominal = 16.09 MB demand, 88 KB over; 5.5 MB
+    fits). The (N, N) V block's own (double-buffered) footprint comes out of
+    the budget first — it is negligible at N=256 (~0.5 MB) but O(N^2):
+    ~2 MB at N=512, ~8 MB at N=1024."""
+    budget = int(5.5 * 2**20) - 2 * N * N * 4
+    rows = budget // (6 * N * 4)
+    return max(8, min(2048, (rows // 8) * 8))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -103,6 +103,20 @@ def solve_lp_batch_cclp(P: LP, settings: Settings, shared: tuple = ()) -> Result
     return jax.vmap(lambda p: solve_lp_traced(p, settings), in_axes=(ax,))(P)
 
 
+@partial(jax.jit, static_argnames=("settings", "shared"))
+@highest_matmul
+def _solve_qp_batch_nodual(Q: QP, settings: Settings, shared: tuple = ()):
+    """Batched auto solve WITHOUT dual attachment — the search stage of the
+    refined pipeline, where lam/gamma would be computed per instance (an
+    (M+J)-sized normal-equations Cholesky each) only to be discarded."""
+    from ssqp_tpu.solvers.ssqp import solve_qp_auto_core
+
+    ax = qp_axes(Q, shared)
+    return jax.vmap(
+        lambda p: solve_qp_auto_core(p, settings), in_axes=(ax,)
+    )(Q)
+
+
 def solve_qp_batch_refined(
     Q: QP,
     *,
@@ -117,8 +131,9 @@ def solve_qp_batch_refined(
 
     ``search_dtype=jnp.float32`` on a float64 batch runs the combinatorial
     search at TPU speed and recovers f64 accuracy in the refinement sweeps.
-    Dual certificates are not re-derived for the refined point; call
-    ``recover_duals`` on the output if needed.
+    Dual certificates are not derived (the search stage skips the
+    per-instance dual attachment entirely — its lam/gamma would be discarded
+    by the refinement); call ``recover_duals`` on the output if needed.
     """
     from ssqp_tpu.solvers.refine import refine_result
 
@@ -128,7 +143,7 @@ def solve_qp_batch_refined(
         s_search = Settings.for_dtype(search_dtype)
     else:
         Qs, s_search = Q, settings
-    res = solve_qp_batch(Qs, s_search, shared=shared)
+    res = _solve_qp_batch_nodual(Qs, s_search, shared=shared)
     res = Result(res.x.astype(Q.V.dtype), res.S, res.status)
     ax = qp_axes(Q, shared)
     return jax.vmap(

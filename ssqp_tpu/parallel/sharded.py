@@ -49,9 +49,15 @@ def solve_qp_sharded(
     settings: Settings,
     mesh: Mesh,
     shared: tuple = (),
-    axis: str = "i",
+    axis="i",
 ):
     """Solve a QP batch sharded over a device mesh.
+
+    ``axis`` is a mesh axis name or a TUPLE of axis names: with a tuple the
+    batch dimension shards over all of them (host-major on a (host, chip)
+    mesh), and the statistic reductions run over the same group — XLA lowers
+    a multi-axis psum hierarchically given the host-major device order (ICI
+    within a host row first, DCN across rows), so only scalars cross DCN.
 
     The leading batch dimension of every non-shared leaf must be divisible by
     the mesh size. Returns ``(Result, stats)`` where ``Result`` leaves are
@@ -131,8 +137,6 @@ def make_mesh_2d(
     return Mesh(grid, axes)
 
 
-@partial(jax.jit, static_argnames=("settings", "shared", "mesh", "axes"))
-@highest_matmul
 def solve_qp_sharded_2d(
     Q: QP,
     settings: Settings,
@@ -143,37 +147,9 @@ def solve_qp_sharded_2d(
     """Solve a QP batch sharded over a 2-D (host, chip) mesh.
 
     The batch dimension is sharded over BOTH axes (host-major), so each
-    device still owns batch/(hosts*chips) instances and runs the identical
-    local program as the 1-D path. Statistics are reduced hierarchically:
-    psum over the chip axis (ICI), then over the host axis (DCN) — only
-    scalars cross DCN, which is what makes the scaling linear.
-    """
-    from ssqp_tpu.solvers.ssqp import solve_qp_auto
-    from ssqp_tpu.parallel.batch import qp_axes
-
-    ax = qp_axes(Q, shared)
-    sp = {f: (P() if f in shared else P(axes)) for f in
-          ("V", "A", "G", "q", "b", "g", "d", "u")}
-    in_specs = QP(sp["V"], sp["A"], sp["G"], sp["q"], sp["b"], sp["g"],
-                  sp["d"], sp["u"], Q.N, Q.M, Q.J, Q.mc)
-    out_specs = (
-        Result(P(axes), P(axes), P(axes), P(axes), P(axes)),
-        dict(solved=P(), iters_max=P(), infeasible=P()),
-    )
-
-    def local(Qs: QP):
-        res = jax.vmap(lambda p: solve_qp_auto(p, settings), in_axes=(ax,))(Qs)
-        # hierarchical reduction: ICI first, then DCN
-        solved = jax.lax.psum(jax.lax.psum(jnp.sum(res.status > 0), axes[1]),
-                              axes[0])
-        infeas = jax.lax.psum(jax.lax.psum(jnp.sum(res.status == 0), axes[1]),
-                              axes[0])
-        iters = jax.lax.pmax(jax.lax.pmax(jnp.max(jnp.abs(res.status)),
-                                          axes[1]), axes[0])
-        return res, dict(solved=solved, iters_max=iters, infeasible=infeas)
-
-    fn = shard_map(
-        local, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
-        check_vma=False,
-    )
-    return fn(Q)
+    device owns batch/(hosts*chips) instances and runs the identical local
+    program as the 1-D path; statistic reductions lower hierarchically (ICI
+    within a host row, then DCN across rows — only scalars cross DCN, which
+    is what makes the scaling linear). Thin alias of
+    :func:`solve_qp_sharded` with a tuple axis."""
+    return solve_qp_sharded(Q, settings, mesh, shared=shared, axis=axes)

@@ -91,9 +91,16 @@ def read_mps(source) -> "Model":
                 row_order.append(name)
         elif section == "COLUMNS":
             if len(parts) >= 3 and parts[1].upper() == "'MARKER'":
+                # integer markers are tolerated-but-RELAXED (continuous
+                # relaxation; the engines are LP/QP only) — warn once
+                if parts[2].upper() == "'INTORG'" and not in_integer:
+                    import warnings
+
+                    warnings.warn(
+                        "MPS integer marker: variables are relaxed to "
+                        "continuous (LP/QP engines only)", stacklevel=2,
+                    )
                 in_integer = parts[2].upper() == "'INTORG'"
-                if in_integer:
-                    raise ValueError("integer variables are not supported")
                 continue
             var = parts[0]
             if var not in cols:
@@ -202,9 +209,12 @@ def read_mps(source) -> "Model":
     return m
 
 
-def solve_mps(source, **kw):
+def solve_mps(source, settings=None):
     """Convenience: read + optimize; returns the Model (reference rwMOI.jl
-    workflow: read_from_file -> optimize! -> inspect)."""
+    workflow: read_from_file -> optimize! -> inspect). ``settings`` override
+    the Model's solver settings for this solve."""
     m = read_mps(source)
-    m.optimize(**kw) if kw else m.optimize()
+    if settings is not None:
+        m.settings = settings
+    m.optimize()
     return m

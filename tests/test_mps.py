@@ -71,17 +71,24 @@ ENDATA
     assert abs(m.objective_value() - 5.0) < 1e-8
 
 
-def test_rejects_integer_and_unknown():
-    bad = """NAME BAD
+def test_integer_markers_relaxed_and_unknown_rejected():
+    mip = """NAME MIP
 ROWS
  N  OBJ
+ G  R1
 COLUMNS
     M1        'MARKER'   'INTORG'
-    X1        OBJ       1.0
+    X1        OBJ       1.0   R1   1.0
+    M2        'MARKER'   'INTEND'
+RHS
+    RHS       R1        2.0
 ENDATA
 """
-    with pytest.raises(ValueError):
-        read_mps(bad)
+    with pytest.warns(UserWarning, match="relaxed to continuous"):
+        m = read_mps(mip)
+    m.optimize()  # continuous relaxation solves fine
+    assert m.termination_status() == "OPTIMAL"
+    assert abs(m.objective_value() - 2.0) < 1e-8
     with pytest.raises(ValueError):
         read_mps("NAME X\nSOS\n S1 SET 1\nENDATA\n")
 
