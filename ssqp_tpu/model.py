@@ -317,7 +317,12 @@ class Model:
     def primal_status(self) -> str:
         if self._result is None:
             return NO_SOLUTION
-        return INFEASIBLE_POINT if int(self._result.status) == 0 else FEASIBLE_POINT
+        st = int(self._result.status)
+        if st == 0:
+            return INFEASIBLE_POINT
+        # numerical error (-1) / iteration limit (-max_iter): the stored x
+        # was never certified feasible — no solution to report
+        return FEASIBLE_POINT if st > 0 else NO_SOLUTION
 
     def objective_value(self) -> float:
         """Recomputed from the stored x (MOIwrapper.jl:231-240)."""
@@ -345,13 +350,15 @@ class Model:
         return str(int(self._result.status)) if self._result is not None else "?"
 
     def dual_status(self) -> str:
-        """FEASIBLE_POINT when a dual certificate is attached (the QP path
-        computes one; this *exceeds* the reference, whose ConstraintDual /
-        DualObjectiveValue are unsupported, MOIwrapper.jl:255-257)."""
-        if self._result is None:
+        """FEASIBLE_POINT when a dual certificate is attached to a SOLVED
+        problem (the QP path computes one; this *exceeds* the reference,
+        whose ConstraintDual / DualObjectiveValue are unsupported,
+        MOIwrapper.jl:255-257). Unsolved/failed/infeasible results, and LP
+        engines (which attach no certificate), report NO_SOLUTION."""
+        if self._result is None or int(self._result.status) <= 0:
             return NO_SOLUTION
         if getattr(self._result, "lam", None) is None:
-            return FEASIBLE_POINT  # reference-parity fudge for LP engines
+            return NO_SOLUTION  # LP engines: no certificate attached
         return FEASIBLE_POINT
 
     def duals(self) -> dict:
@@ -385,8 +392,10 @@ class Model:
     @classmethod
     def from_problem(cls, P, *, sense: str = "min") -> "Model":
         """Build a Model from an existing LP/QP pytree (reverse direction of
-        ``optimize``'s assembly; reference QP2MOI / LP2MOI)."""
-        m = cls()
+        ``optimize``'s assembly; reference QP2MOI / LP2MOI). The source
+        problem's dtype is preserved — without it, the round trip would
+        silently re-type to the jnp default (the f64->f32 downcast trap)."""
+        m = cls(dtype=np.asarray(P.d).dtype)
         N = P.N
         d = np.asarray(P.d, float)
         u = np.asarray(P.u, float)

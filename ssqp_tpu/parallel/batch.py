@@ -147,7 +147,7 @@ def solve_qp_batch_refined(
     res = Result(res.x.astype(Q.V.dtype), res.S, res.status)
     ax = qp_axes(Q, shared)
     return jax.vmap(
-        lambda p, r: refine_result(p, r, settings, iters),
+        lambda p, r: refine_result(p, r, settings, iters, with_duals=False),
         in_axes=(ax, Result(0, 0, 0)),
     )(Q, res)
 

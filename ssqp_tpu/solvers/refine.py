@@ -60,15 +60,18 @@ def _kkt_matrix(Q: QP, free, keep, z):
     return K, rhs, AG, bg
 
 
-@partial(jax.jit, static_argnames=("settings", "iters"))
+@partial(jax.jit, static_argnames=("settings", "iters", "with_duals"))
 @highest_matmul
-def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2) -> Result:
+def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2,
+                  with_duals: bool = True) -> Result:
     """Refine a solved QP on its converged active set.
 
     Factors the fixed-active-set KKT matrix once in the problem dtype and
     applies ``iters`` refinement sweeps with float64 residuals. Statuses are
-    unchanged; only x is improved. No-op (returns ``res``) when the solve
-    failed (status <= 0).
+    unchanged; only x is improved, and dual certificates (Result.lam/.gamma)
+    are re-derived at the refined point (``with_duals=False`` skips that —
+    used by the batched pipeline, where callers opt into duals explicitly).
+    No-op (returns ``res``) when the solve failed (status <= 0).
     """
     N, M, J = Q.N, Q.M, Q.J
     dtype = Q.V.dtype
@@ -88,19 +91,27 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2) -> Res
     # (tests / conformance) an f64 problem keeps its f64 LU: one solve is
     # then already accurate and ``iters`` sweeps just polish roundoff.
     fac_dtype = dtype if jax.default_backend() == "cpu" else jnp.float32
-    # Same purge policy as the S-loop (solvers/ssqp.py): at many working
-    # rows the GJ sweep's R sequential fori steps dominate latency, so use
-    # the one-shot QR keep-mask instead (identical greedy keep semantics).
-    # The purge is a rank DECISION, not a solution: it runs in the factor
-    # dtype (f64 QR is emulated-or-unsupported on TPU, and the S-loop that
-    # chose this active set made all its rank calls in the search dtype).
-    # A settings.tol below the purge dtype's resolution would mis-keep
-    # numerically dependent rows, so floor it at the f32-tier tol.
+    # Same purge policy as the S-loop (solvers/ssqp.py) INCLUDING the
+    # Settings.pivot flavor — the refined system must enforce the same kept
+    # rows as the loop that chose this active set, or differently-pinned
+    # multipliers can displace the refined point on rank-deficient sets and
+    # the acceptance guard rejects the sweep. The row flavor uses the
+    # one-shot QR keep-mask at many working rows (identical greedy keep
+    # semantics; the GJ sweep's R sequential fori steps dominate latency
+    # there). The purge is a rank DECISION, not a solution: it runs in the
+    # factor dtype (f64 QR is emulated-or-unsupported on TPU, and the
+    # S-loop that chose this active set made all its rank calls in the
+    # search dtype). A settings.tol below the purge dtype's resolution
+    # would mis-keep numerically dependent rows: floor it at the f32 tier.
     Ap = (AGf * fm[None, :]).astype(fac_dtype)
     bp = bE.astype(fac_dtype)
     tol_p = (max(float(settings.tol), 2.0**-16)
              if jnp.dtype(fac_dtype) == jnp.float32 else settings.tol)
-    if (M + J) >= 16:
+    if settings.pivot != "row":
+        from ssqp_tpu.ops.masked_gj import masked_gj_purge_col
+
+        keep, _, _ = masked_gj_purge_col(Ap, bp, act, tol_p)
+    elif (M + J) >= 16:
         from ssqp_tpu.ops.masked_gj import masked_purge_qr
 
         keep, _, _ = masked_purge_qr(Ap, bp, act, tol_p)
@@ -137,22 +148,35 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2) -> Res
     # exactly, so a single borderline mislabeled row (polish snaps statuses
     # within tol) can displace it far from the optimum. Accept only if the
     # refined point stays primal-feasible and does not worsen the objective
-    # — otherwise return the searched point untouched.
+    # — otherwise return the searched point untouched. Feasibility semantics
+    # are the solver's own oracle (ssqp._primal_feasible on the
+    # full-precision problem data).
+    from ssqp_tpu.solvers.ssqp import _primal_feasible
+
     x_old = res.x.astype(hi)
     V64 = Q.V.astype(hi)
     q64 = Q.q.astype(hi)
     fobj = lambda xx: 0.5 * xx @ (V64 @ xx) + q64 @ xx
     ftol = jnp.asarray(jnp.sqrt(settings.tol), hi)
-    feas = jnp.all(jnp.isfinite(x_ref))
-    if M > 0:
-        feas &= jnp.max(jnp.abs(Q.A.astype(hi) @ x_ref - Q.b)) <= ftol
-    if J > 0:
-        feas &= jnp.max(Q.G.astype(hi) @ x_ref - Q.g) <= ftol
-    feas &= jnp.all(x_ref >= Q.d - ftol) & jnp.all(x_ref <= Q.u + ftol)
+    feas = _primal_feasible(Q, x_ref, ftol)
     better = fobj(x_ref) <= fobj(x_old) + ftol
     ok = (res.status > 0) & feas & better
+    # x stays in the RESIDUAL dtype (BigFloat-tier semantics: the answer is
+    # higher-precision than the work dtype)
     x_out = jnp.where(ok, x_ref, x_old)
-    return Result(x_out, res.S, res.status)
+    out = Result(x_out, res.S, res.status)
+    if with_duals:
+        # re-derive the dual certificates at the (possibly moved) point —
+        # refinement must not silently strip Result.lam/.gamma (the
+        # documented every-QP-solve invariant; Model.duals() relies on it)
+        from ssqp_tpu.ops.kkt import recover_duals
+
+        AGd = jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A
+        actd = (jnp.concatenate([jnp.ones((M,), bool), res.S[N:] == EO])
+                if J > 0 else jnp.ones((M,), bool))
+        lam, gam = recover_duals(Q.V, Q.q, AGd, out.x, free, actd)
+        out = Result(out.x, out.S, out.status, lam, gam)
+    return out
 
 
 def solve_qp_refined(
@@ -171,6 +195,8 @@ def solve_qp_refined(
     strategy: the active set only needs enough accuracy to be *identified*,
     the final solution gets the full-precision treatment.
     """
+    import dataclasses
+
     import jax
 
     from ssqp_tpu.solvers.ssqp import solve_qp
@@ -178,6 +204,18 @@ def solve_qp_refined(
     if search_dtype is not None and jnp.dtype(search_dtype) != Q.V.dtype:
         Qs = jax.tree.map(lambda a: a.astype(search_dtype), Q)
         s_search = Settings.for_dtype(search_dtype)
+        if settings is not None:
+            # carry the caller's STRUCTURAL tuning into the downcast search
+            # (budget, strategy, pivot rules) — but keep the search-dtype
+            # tier's tolerances/CG parameters, which must match the dtype
+            s_search = dataclasses.replace(
+                s_search,
+                max_iter=settings.max_iter,
+                multi_free=settings.multi_free,
+                clip_step=settings.clip_step,
+                rule=settings.rule,
+                pivot=settings.pivot,
+            )
     else:
         Qs = Q
         s_search = settings or Settings.for_dtype(Q.V.dtype)

@@ -108,3 +108,21 @@ class TestDuals:
                 + np.asarray(Q.A).T @ du["eq"]
                 + np.asarray(Q.G).T @ du["ineq"] - du["bounds"])
         assert np.abs(stat).max() < TOL
+
+    def test_refined_solve_keeps_duals(self):
+        """refine_result must not strip the dual certificate — the refined
+        point gets re-derived lam/gamma (every-QP-solve invariant)."""
+        import jax.numpy as jnp
+
+        from ssqp_tpu.solvers.refine import solve_qp_refined
+
+        p = generate_qp_known_opt(seed=5, N=10, M=1, J=2)
+        Q = make_qp(np.asarray(p.V, np.float64), np.asarray(p.q, np.float64),
+                    np.asarray(p.A, np.float64), np.asarray(p.b, np.float64),
+                    G=np.asarray(p.G, np.float64), g=np.asarray(p.g, np.float64),
+                    d=np.asarray(p.d, np.float64), u=np.asarray(p.u, np.float64),
+                    dtype=np.float64)
+        r = solve_qp_refined(Q, search_dtype=jnp.float32)
+        assert int(r.status) > 0
+        assert r.lam is not None and r.gamma is not None
+        _check_certificate(Q, r)
