@@ -182,7 +182,7 @@ def solve_lp_traced(P: LP, settings: Settings) -> Result:
     """Criss-cross solve of a general LP (reference solveLP(Q::LP),
     CCLP.jl:289-390): standardize, solve, recover x/S, map slack statuses."""
     N, M, J = P.N, P.M, P.J
-    sf = standard_form(P.c, P.A, P.b, P.G, P.g, P.d, P.u)
+    sf = standard_form(P.c, P.A, P.b, P.G, P.g, P.d, P.u, tol=settings.tol)
     Nt = sf.c1.shape[0]
     in_basis0 = _init_basis(sf.c1, sf.A1, settings.tol)
     S0 = jnp.where(in_basis0, IN, DN).astype(jnp.int8)

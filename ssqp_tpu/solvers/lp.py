@@ -65,11 +65,18 @@ def simplex_lp_traced(P: LP, settings: Settings, minimize: bool = True) -> Resul
     # ---- Phase 1 ------------------------------------------------------------
     c1 = jnp.concatenate([jnp.zeros((N0,), dtype), jnp.ones((R,), dtype)])
     st1, x1, B1, S1, _ = bounded_simplex(
-        c1, A1, b0p, std.d1, std.u1, std.B0, std.S0, std.x0, std.real,
+        c1, A1, b0p, std.d1, std.u1, std.B0, std.S0, std.d1, std.real,
         tol=tol, max_iter=settings.max_iter, rule=settings.rule,
     )
     f_art = jnp.sum(x1[N0:])
-    infeasible = (f_art > tol) | inconsistent
+    # A Phase-1 failure is NOT infeasibility: -max_iter means the artificial
+    # objective was not driven down within budget (feasibility undecided) and
+    # -1 means numerical error; both must propagate as-is rather than read a
+    # meaningless f_art. Phase-1's objective (sum of artificials) is bounded
+    # below by 0, so a status-3 "unbounded" can only arise from numerics.
+    p1_fail = (st1 <= 0) | (st1 == 3)
+    p1_code = jnp.where(st1 == 3, -1, st1)
+    infeasible = (~p1_fail & (f_art > tol)) | inconsistent
 
     # ---- drive artificials out of the basis ---------------------------------
     col_ids = jnp.arange(Nt)
@@ -110,24 +117,40 @@ def simplex_lp_traced(P: LP, settings: Settings, minimize: bool = True) -> Resul
     # ---- recovery -----------------------------------------------------------
     xo, So, Se = recover_x_status(x2, S3, std, N, J)
 
-    # free-variable infinitely-many re-check (Simplex.jl:995-1021)
+    # free-variable infinitely-many re-check (Simplex.jl:995-1021).
+    # Artificials left basic for PURGED rows (their all-zero row means they
+    # can never leave the basis) must not enter the dual solve: their
+    # equations are replaced by identity rows pinning the purged row's w
+    # component to 0, mirroring the mask-padded convention everywhere else —
+    # otherwise the zeroed row makes the solve singular and a unique optimum
+    # is misreported as status 2.
     any_fv = jnp.any(std.fv)
     nj = N + J
     Bm = jnp.where((B3 >= nj) & (B3 < nj + N), B3 - nj, B3)
-    Bs = jnp.sort(Bm)
-    dup = jnp.any(Bs[1:] == Bs[:-1])
+    sel = B3 < N0  # real-column basis positions (artificials excluded)
     A_nj = A1[:, :nj]
     c_nj = c0[:nj]
     Bc = jnp.clip(Bm, 0, nj - 1)
-    wv = jnp.linalg.solve(A_nj[:, Bc].T, c_nj[Bc])
+    # duplicate real indices => both split parts of a free var are basic
+    Bdup = jnp.where(sel, Bm, nj + jnp.arange(R))  # artificials -> distinct
+    Bs = jnp.sort(Bdup)
+    dup = jnp.any(Bs[1:] == Bs[:-1])
+    art_row_ix = jnp.clip(B3 - N0, 0, R - 1)
+    eye_rows = (art_row_ix[:, None] == jnp.arange(R)[None, :]).astype(dtype)
+    K1 = jnp.where(sel[:, None], A_nj[:, Bc].T, eye_rows)
+    rhs1 = jnp.where(sel, c_nj[Bc], 0.0)
+    wv = jnp.linalg.solve(K1, rhs1)
     h_nj = c_nj - A_nj.T @ wv
-    in_b = jnp.zeros((nj,), bool).at[jnp.clip(Bm, 0, nj - 1)].set(True)
+    in_b = (jnp.zeros((nj,), jnp.int32)
+            .at[jnp.where(sel, Bc, 0)].max(sel.astype(jnp.int32))) > 0
     ms = jnp.any((jnp.abs(h_nj) < tol) & ~in_b) | dup | ~jnp.all(jnp.isfinite(wv))
     recheck = jnp.where(ms, 2, 1)
     optimal = (st2 == 1) | (st2 == 2)
     status = jnp.where(any_fv & optimal, recheck, st2)
 
-    status = jnp.where(infeasible, 0, status).astype(jnp.int32)
+    status = jnp.where(
+        infeasible, 0, jnp.where(p1_fail, p1_code, status)
+    ).astype(jnp.int32)
     S = jnp.concatenate([So, Se]) if J > 0 else So
     return Result(xo, S, status)
 

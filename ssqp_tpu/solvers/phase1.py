@@ -45,7 +45,9 @@ class Standardized(NamedTuple):
     flip: jax.Array  # (N,) bool — (-inf, u] variables (sign-flipped)
     B0: jax.Array  # (R,) initial (artificial) basis
     S0: jax.Array  # (Nt,) initial statuses
-    x0: jax.Array  # (Nt,) initial point (all at lower bounds)
+    # NOTE: the Phase-1 start point is d1 itself (every nonbasic variable at
+    # its lower bound; basic values are recomputed from the maintained
+    # inverse on the first simplex iteration), so no separate x0 is stored.
 
 
 def standardize_bounded(A, G, b, g, d, u):
@@ -91,7 +93,7 @@ def standardize_bounded(A, G, b, g, d, u):
     )
     B0 = N0 + jnp.arange(R, dtype=jnp.int32)
     S0 = jnp.full((N0 + R,), DN, jnp.int8).at[B0].set(IN)
-    return Standardized(A1, b0, d1, u1, real, fv, flip, B0, S0, d1)
+    return Standardized(A1, b0, d1, u1, real, fv, flip, B0, S0)
 
 
 def recover_x_status(x1, S1, std: Standardized, N: int, J: int):
@@ -138,7 +140,7 @@ def init_qp_traced(Q: QP, settings: Settings, skip=None):
     N0 = 2 * N + J
     c1 = jnp.concatenate([jnp.zeros((N0,), dtype), jnp.ones((R,), dtype)])
     lp_status, x1, B1, S1, _ = bounded_simplex(
-        c1, std.A1, std.b0, std.d1, std.u1, std.B0, std.S0, std.x0, std.real,
+        c1, std.A1, std.b0, std.d1, std.u1, std.B0, std.S0, std.d1, std.real,
         tol=settings.tol, max_iter=settings.max_iter, rule=settings.rule,
         pre_done=skip,
     )

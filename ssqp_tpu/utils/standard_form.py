@@ -46,16 +46,20 @@ class StandardForm(NamedTuple):
     inconsistent: jax.Array  # () bool — rank([A b]) > rank(A)
 
 
-def standard_form(c, A, b, G, g, d, u) -> StandardForm:
+def standard_form(c, A, b, G, g, d, u, tol=None) -> StandardForm:
     """Build the fixed-shape standard form (see module docstring).
 
     Shapes: c (N,), A (M, N), b (M,), G (J, N), g (J,), d/u (N,).
+    ``tol`` is the redundancy-purge tolerance — pass the caller's
+    Settings.tol so the rank decisions match the solving dtype tier (the
+    f64-tier default 2**-26 sits below f32 arithmetic noise, which would
+    leave duplicate rows unpurged and the standard system rank-deficient).
     """
     dtype = c.dtype
     M, N = A.shape
     J = G.shape[0]
     MJ = M + J
-    tol = jnp.asarray(2.0**-26, dtype)
+    tol = jnp.asarray(2.0**-26 if tol is None else tol, dtype)
 
     fu_inf = ~jnp.isfinite(u)
     fd_inf = ~jnp.isfinite(d)
@@ -138,8 +142,11 @@ def recover_solution(y_full, S1, sf: StandardForm, N: int, J: int):
     xo = jnp.where(sf.flip, -xo, xo)
 
     So = S1[:N]
-    # a free variable basic through its negative part is IN
-    So = jnp.where(sf.free & (S1[N + J : N + J + N] == IN), IN, So)
+    # free variables are always IN: they have no bounds to sit at, and a DN
+    # label (either split part nonbasic) would read as x = d = -inf to
+    # status consumers (warm starts, reconstruction) — same convention as
+    # phase1.recover_x_status
+    So = jnp.where(sf.free, IN, So)
     So = jnp.where(sf.flip & (So == DN), UP, So)
     # boxed variable whose bound slack is nonbasic sits at its upper bound
     # (unconditional override like the reference, CCLP.jl:358-359)

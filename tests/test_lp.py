@@ -147,3 +147,73 @@ def test_box_lp_unbounded():
     P = make_lp(c, d=np.array([-np.inf, 0.0]), u=np.array([1.0, 1.0]))
     res = box_lp(P)
     assert int(res.status) == 3
+
+
+def test_lp_redundant_row_with_free_variable_unique():
+    """Regression: a purged redundant row leaves its artificial basic; the
+    free-variable re-check must exclude it from the dual solve instead of
+    reporting a unique optimum as status 2 (singular solve)."""
+    # min x1 + x2, x1 + x2 + x3 = 2 (duplicated), x3 free, x1,x2 in [0,1]
+    c = np.array([1.0, 1.0, 0.0])
+    A = np.array([[1.0, 1.0, 1.0], [1.0, 1.0, 1.0]])  # duplicate rows
+    b = np.array([2.0, 2.0])
+    P = make_lp(c, A, b, d=[0.0, 0.0, -np.inf], u=[1.0, 1.0, np.inf])
+    r = simplex_lp(P)
+    assert int(r.status) == 1, int(r.status)
+    np.testing.assert_allclose(np.asarray(r.x[:2]), [0.0, 0.0], atol=1e-9)
+    np.testing.assert_allclose(float(r.x[2]), 2.0, atol=1e-9)
+
+
+def test_lp_phase1_iteration_limit_not_infeasible():
+    """Regression: a Phase-1 that hits the iteration budget must report
+    -max_iter (undecided), not 0 (infeasible) — the problem IS feasible."""
+    rng = np.random.default_rng(3)
+    N, M = 24, 8
+    A = rng.standard_normal((M, N))
+    x0 = rng.uniform(0.2, 0.8, N)
+    b = A @ x0
+    c = rng.standard_normal(N)
+    P = make_lp(c, A, b, d=np.zeros(N), u=np.ones(N))
+    s = Settings(max_iter=2)  # far below what Phase-1 needs
+    r = simplex_lp(P, settings=s)
+    assert int(r.status) == -2, int(r.status)
+
+
+def test_cclp_f32_duplicate_row_purged():
+    """Regression: standard_form's purge tolerance must follow the settings
+    tier — an f32 duplicated row was left unpurged by the f64-tier 2^-26
+    default, making the criss-cross basis singular (status -1)."""
+    from ssqp_tpu.solvers.cclp import solve_lp
+
+    rng = np.random.default_rng(11)
+    N, M = 12, 3
+    A = rng.standard_normal((M, N)).astype(np.float32)
+    A[M - 1] = A[0]  # duplicate row (exact in f32)
+    x0 = rng.uniform(0.2, 0.8, N).astype(np.float32)
+    b = (A @ x0).astype(np.float32)
+    # perturb so the duplicate row's residual is f32-noise, not exactly 0
+    A = (A * np.float32(1.0)).astype(np.float32)
+    c = rng.standard_normal(N).astype(np.float32)
+    P = make_lp(c, A, b, d=np.zeros(N, np.float32), u=np.ones(N, np.float32),
+                dtype=np.float32)
+    r = solve_lp(P, settings=Settings.for_dtype(np.float32))
+    assert int(r.status) >= 1, int(r.status)
+    ref = linprog(c, A_eq=A[:2], b_eq=b[:2], bounds=[(0, 1)] * N)
+    assert ref.success
+    np.testing.assert_allclose(float(np.dot(c, np.asarray(r.x))),
+                               float(ref.fun), atol=5e-5)
+
+
+def test_cclp_free_variable_status_in():
+    """Regression: a free variable must come back with status IN, never DN
+    (DN reads as x = d = -inf to status consumers)."""
+    from ssqp_tpu.solvers.cclp import solve_lp
+
+    # x2 free with zero cost: optimum has both split parts nonbasic
+    c = np.array([1.0, 0.0])
+    A = np.array([[1.0, 0.0]])
+    b = np.array([0.5])
+    P = make_lp(c, A, b, d=[0.0, -np.inf], u=[1.0, np.inf])
+    r = solve_lp(P)
+    assert int(r.status) >= 1
+    assert int(r.S[1]) == int(IN), np.asarray(r.S)
