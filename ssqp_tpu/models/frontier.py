@@ -47,6 +47,18 @@ def _with_q(Q: QP, q) -> QP:
     return QP(Q.V, Q.A, Q.G, q, Q.b, Q.g, Q.d, Q.u, Q.N, Q.M, Q.J, Q.mc)
 
 
+def _with_mu_row(Q: QP, rets, mu) -> QP:
+    """Template with the return row ``r'z = mu`` appended to A and a zero
+    objective (the mu-parameterized frontier constructor, reference
+    QP(mu, P), types.jl:321-339) — the single traced twin of
+    types.py::qp_frontier_mu, shared by the cold and warm mu-sweeps."""
+    dtype = Q.V.dtype
+    A = jnp.concatenate([Q.A, rets[None, :].astype(dtype)], axis=0)
+    b = jnp.concatenate([Q.b, jnp.reshape(jnp.asarray(mu, dtype), (1,))])
+    return QP(Q.V, A, Q.G, jnp.zeros((Q.N,), dtype), b, Q.g, Q.d, Q.u,
+              Q.N, Q.M + 1, Q.J, Q.mc)
+
+
 def _stats(Q: QP, rets, x):
     ret = x @ rets
     risk = jnp.sqrt(jnp.maximum(jnp.einsum("...i,ij,...j->...", x, Q.V, x), 0.0))
@@ -63,6 +75,9 @@ def frontier_batch_sweep(Q: QP, rets, lams, settings: Settings) -> FrontierResul
     """
     from ssqp_tpu.solvers.ssqp import solve_qp_auto
 
+    dtype = Q.V.dtype
+    lams = jnp.asarray(lams, dtype)
+    rets = jnp.asarray(rets, dtype)
     qb = -lams[:, None] * rets[None, :]
 
     def one(qi):
@@ -138,13 +153,10 @@ def frontier_mu_sweep(Q: QP, rets, mus, settings: Settings) -> FrontierResult:
     from ssqp_tpu.solvers.ssqp import solve_qp_auto
 
     dtype = Q.V.dtype
-    A = jnp.concatenate([Q.A, rets[None, :].astype(dtype)], axis=0)
+    rets = jnp.asarray(rets, dtype)
 
     def one(mu):
-        b = jnp.concatenate([Q.b, mu[None]])
-        Qi = QP(Q.V, A, Q.G, jnp.zeros((Q.N,), dtype), b, Q.g, Q.d, Q.u,
-                Q.N, Q.M + 1, Q.J, Q.mc)
-        return solve_qp_auto(Qi, settings)
+        return solve_qp_auto(_with_mu_row(Q, rets, mu), settings)
 
     res = jax.vmap(one)(jnp.asarray(mus, dtype))
     ret, risk = _stats(Q, rets, res.x)
@@ -170,15 +182,10 @@ def frontier_mu_warm_sweep(Q: QP, rets, mus, settings: Settings) -> FrontierResu
     dtype = Q.V.dtype
     mus = jnp.asarray(mus, dtype)
     rets = jnp.asarray(rets, dtype)
-    A = jnp.concatenate([Q.A, rets[None, :].astype(dtype)], axis=0)
-    Qt = QP(Q.V, A, Q.G, jnp.zeros((Q.N,), dtype),
-            jnp.concatenate([Q.b, mus[:1]]), Q.g, Q.d, Q.u,
-            Q.N, Q.M + 1, Q.J, Q.mc)
+    Qt = _with_mu_row(Q, rets, mus[0])
 
     def mk(mu):
-        b = jnp.concatenate([Q.b, mu[None]])
-        return QP(Qt.V, Qt.A, Qt.G, Qt.q, b, Qt.g, Qt.d, Qt.u,
-                  Qt.N, Qt.M, Qt.J, Qt.mc)
+        return _with_mu_row(Q, rets, mu)
 
     x0, Sx0, Se0, st1 = init_qp_traced(mk(mus[0]), settings)
     step = _warm_step(Qt, settings, st1, mk)

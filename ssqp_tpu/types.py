@@ -243,9 +243,28 @@ def _prep_bounds(d, u, N, dtype):
     return d, u, mc
 
 
+def _check_dtype_realizable(dtype):
+    """Warn on the silent f64->f32 downcast trap: requesting float64 without
+    jax_enable_x64 produces f32 device arrays while the default Settings()
+    keeps f64-tier tolerances (below f32 eps) — mass non-convergence. The
+    constructors are the right choke point to catch it."""
+    if np.dtype(dtype) == np.float64 and jnp.zeros(0).dtype != jnp.float64:
+        import warnings
+
+        warnings.warn(
+            "dtype=float64 requested but jax_enable_x64 is OFF: device "
+            "arrays will silently be float32 while float64-tier Settings "
+            "tolerances are unreachable. Enable x64 (jax.config.update("
+            "'jax_enable_x64', True)) or build the problem with "
+            "dtype=np.float32 and Settings.for_dtype(jnp.float32).",
+            stacklevel=3,
+        )
+
+
 def make_lp(c, A=None, b=None, *, G=None, g=None, d=None, u=None, dtype=None) -> LP:
     """Build a validated LP (reference LP kwarg constructor, types.jl:99-182)."""
     dtype = np.dtype(jnp.zeros(0).dtype if dtype is None else dtype)
+    _check_dtype_realizable(dtype)
     c = np.asarray(c, dtype).reshape(-1)
     N = c.shape[0]
     A = np.zeros((0, N), dtype) if A is None else _as2d(A, dtype)
@@ -288,6 +307,7 @@ def make_qp(
     eigenvalue (types.jl:247-249, mc=-70 on failure).
     """
     dtype = np.dtype(jnp.zeros(0).dtype if dtype is None else dtype)
+    _check_dtype_realizable(dtype)
     V = _as2d(V, dtype)
     N = V.shape[0]
     if V.shape != (N, N):

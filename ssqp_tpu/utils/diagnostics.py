@@ -51,14 +51,27 @@ def _one_report(Q: QP, res: Result) -> KKTReport:
     ) if J > 0 else jnp.ones((M,), bool)).astype(x.dtype)
     Ap = AG * (act[:, None] * fm[None, :])
     gf = grad * fm
-    # least-squares multipliers through the normal equations (+ tiny ridge)
+    # least-squares multipliers through the normal equations (+ tiny ridge),
+    # then SIGN-projected: with y = -lam the stationarity reads
+    # grad + AG'y = gamma, and optimality demands y >= 0 on active
+    # inequality rows plus gamma >= 0 at DN / <= 0 at UP pins. Without the
+    # projection (and the pinned-coordinate check below) a suboptimal vertex
+    # — e.g. every variable pinned, fm all zero — reported stat = 0 and
+    # masqueraded as optimal.
     R = AG.shape[0]
+    ineq_row = (jnp.arange(R) >= M)
     if R > 0:
         Mn = Ap @ Ap.T + 1e-12 * jnp.eye(R, dtype=x.dtype)
         lam = jnp.linalg.solve(Mn, Ap @ gf)
-        stat = jnp.max(jnp.abs(gf - Ap.T @ lam) * fm)
+        lam = jnp.where(ineq_row, jnp.minimum(lam, 0.0), lam)  # y_ineq >= 0
+        stat_free = jnp.max(jnp.abs(gf - Ap.T @ lam) * fm)
+        gamma_b = grad - AG.T @ (act * lam)
     else:
-        stat = jnp.max(jnp.abs(gf))
+        stat_free = jnp.max(jnp.abs(gf))
+        gamma_b = grad
+    viol_dn = jnp.max(jnp.maximum(-gamma_b, 0.0) * (Sx == DN))
+    viol_up = jnp.max(jnp.maximum(gamma_b, 0.0) * (Sx == UP))
+    stat = jnp.maximum(stat_free, jnp.maximum(viol_dn, viol_up))
     comp = (jnp.max(jnp.abs((Q.g - Q.G @ x)) * (res.S[N:] == EO))
             if J > 0 else jnp.zeros((), x.dtype))
     it = jnp.maximum(res.status, 0)
@@ -66,9 +79,15 @@ def _one_report(Q: QP, res: Result) -> KKTReport:
                      res.status > 0)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("batched",))
 @highest_matmul
 def kkt_report(Q: QP, res: Result, batched: bool = False) -> KKTReport:
-    """Per-instance optimality diagnostics, device-resident.
+    """Per-instance optimality diagnostics, device-resident (one jitted
+    call — eager dispatch would cost dozens of host round trips through the
+    dev tunnel per report).
 
     With ``batched=True`` every leaf of ``Q``/``res`` carries a leading batch
     axis and the report fields come back batched.

@@ -136,7 +136,12 @@ def kkt_residual(V, q, A, b, G, g, d, u, x, tol_act: float = 1e-7):
     if act_g.any():
         cols.append(G[act_g].T)
     lo_idx = np.where(at_lo)[0]
-    hi_idx = np.where(at_hi & ~at_lo)[0]
+    # at_hi WITHOUT excluding at_lo: a fixed variable (d==u) carries a
+    # free-sign multiplier, represented by having BOTH its +-e_k columns
+    # available to the NNLS — excluding the upper column forced gamma >= 0
+    # and reported a phantom stationarity residual on optimal points whose
+    # fixed coordinate needs a negative reduced gradient
+    hi_idx = np.where(at_hi)[0]
     E = np.zeros((len(x), len(lo_idx) + len(hi_idx)))
     for i, k in enumerate(lo_idx):
         E[k, i] = -1.0
