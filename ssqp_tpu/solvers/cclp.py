@@ -116,24 +116,32 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
 
         entering = idxK < idxL
 
-        # ---- entering pivot: column k enters; leaving row = the one with
-        # the SMALLEST basic index among y > tol (the reference's J[1] on a
-        # sorted basis, CCLP.jl:156-164), by value comparison here ----------
+        # ---- candidate columns for both pivot flavors ----------------------
         k_in = jnp.where(idxK < Nt, idxK, 0).astype(jnp.int32)
-        y_in = invB @ (A1 @ (arange == k_in).astype(dtype))
-        rows = y_in > tol
-        unb = entering & ~jnp.any(rows)  # status 3 (CCLP.jl:159-161)
-        rpos_in = jnp.argmin(jnp.where(rows, B, Nt))
-        l_in = B[rpos_in]
 
-        # ---- leaving pivot: row lpos leaves, first eligible column enters --
+        # leaving pivot: row lpos leaves, first eligible column enters
         yrow = A1.T @ invB[lpos, :]
         cand = ~in_basis & (yrow < -tol)
         infeas = ~entering & ~jnp.any(cand)  # status 0 (CCLP.jl:146-148)
         k_out = jnp.min(jnp.where(cand, arange, Nt - 1)).astype(jnp.int32)
         l_out = B[lpos]
 
+        # ONE entering-column matvec serves both flavors: k == k_in whenever
+        # `entering` is true, and the rows/unb/rpos_in quantities below are
+        # only consumed under `entering` (a second y_in matvec per iteration
+        # would double the hot loop's entering-column work — XLA cannot CSE
+        # the two one-hot chains).
         k = jnp.where(entering, k_in, k_out)
+        yk = invB @ (A1 @ (arange == k).astype(dtype))
+
+        # entering pivot: column k enters; leaving row = the one with the
+        # SMALLEST basic index among y > tol (the reference's J[1] on a
+        # sorted basis, CCLP.jl:156-164), by value comparison here
+        rows = yk > tol
+        unb = entering & ~jnp.any(rows)  # status 3 (CCLP.jl:159-161)
+        rpos_in = jnp.argmin(jnp.where(rows, B, Nt))
+        l_in = B[rpos_in]
+
         l = jnp.where(entering, l_in, l_out)
         rpos = jnp.where(entering, rpos_in, lpos)
 
@@ -141,7 +149,6 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
         do_pivot = ~stop
 
         # product-form inverse update for the exchange at row rpos
-        yk = jnp.where(entering, y_in, invB @ (A1 @ (arange == k).astype(dtype)))
         e_r = (jnp.arange(R) == rpos).astype(dtype)
         y_r = jnp.where(jnp.abs(yk[rpos]) > 0, yk[rpos], jnp.ones((), dtype))
         invB_piv = invB - jnp.outer((yk - e_r) / y_r, invB[rpos, :])

@@ -37,12 +37,17 @@ def warmup(
     shapes: Iterable[Tuple[int, int, int]] = ((16, 1, 0),),
     batch: int = 0,
     dtype=None,
+    refined: bool = False,
 ) -> int:
-    """Compile the QP solve path for the given (N, M, J) shapes.
+    """Compile the QP solve paths for the given (N, M, J) shapes.
 
-    ``batch > 0`` additionally warms the vmap-batched path at that batch
-    size. Returns the number of programs executed. Mirrors the reference's
-    precompile workload (a tiny portfolio QP through every entry point).
+    ``solve_qp`` (the three-stage auto solve — PDAS guess, Phase-1, exact
+    pass — all one XLA program) is always warmed; ``batch > 0`` additionally
+    warms the vmap-batched path at that batch size, and ``refined=True``
+    warms the mixed-precision pipeline (f32 search + refinement — a distinct
+    program). Returns the number of programs executed. Mirrors the
+    reference's precompile workload (a tiny portfolio QP through every
+    entry point).
     """
     import jax.numpy as jnp
 
@@ -68,5 +73,17 @@ def warmup(
         if batch > 0:
             Qb = stack_qps([Q] * batch)
             solve_qp_batch(Qb, settings).x.block_until_ready()
+            n += 1
+        if refined:
+            from ssqp_tpu.solvers.refine import solve_qp_refined
+
+            import jax
+
+            Qhi = jax.tree.map(
+                lambda a: a.astype(jnp.zeros(0).dtype), Q
+            )  # full-precision copy in the ambient default dtype
+            solve_qp_refined(
+                Qhi, search_dtype=jnp.dtype(dtype)
+            ).x.block_until_ready()
             n += 1
     return n

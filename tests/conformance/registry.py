@@ -128,9 +128,11 @@ def _hand_lps():
         lp("lp_n2_inconsistent_rows", "infeasible", c=[1.0, 1.0],
            A=[[1.0, 1.0], [1.0, 1.0]], b=[2.0, 3.0], d=[0.0, 0.0],
            u=[5.0, 5.0]),
+        # x NOT pinned: every (0, t) with t in [1, 3] is optimal (two
+        # equally-optimal vertices) — only the objective is checkable
         lp("lp_n2_interval_row", "optimal", c=[1.0, 0.0],
            G=[[1.0, 1.0], [-1.0, -1.0]], g=[3.0, -1.0], d=[0.0, 0.0],
-           u=[INF, INF], f=0.0, x=[0.0, 1.0]),
+           u=[INF, INF], f=0.0),
         lp("lp_n2_greaterthan_row", "optimal", c=[1.0, 2.0],
            G=[[-1.0, -1.0]], g=[-1.0], d=[0.0, 0.0], u=[INF, INF],
            f=1.0, x=[1.0, 0.0]),
@@ -392,7 +394,14 @@ def _frontier_qps():
                          LinearConstraint(Gm, -np.inf, gv)],
             method="SLSQP", options={"maxiter": 800, "ftol": 1e-16},
         )
-        assert m.success
+        if not m.success:
+            # a scipy-version-dependent SLSQP bail-out must not kill the
+            # collection of the whole battery — drop just this grid point
+            import warnings
+
+            warnings.warn(f"conformance: SLSQP failed on frontier point {i}; "
+                          "case skipped")
+            continue
         cases.append(
             qp(f"qp_frontier_ungil_{i}", "optimal", V=V, q=q,
                A=np.ones((1, N)), b=[1.0], G=Gm, g=gv,

@@ -174,3 +174,6 @@ class TestCompilationCache:
         # warm a tiny shape through the hook so the path is exercised
         n = warmup(shapes=((6, 1, 0),), dtype=np.float64)
         assert n == 1
+        # refined=True warms the mixed-precision pipeline as a 2nd program
+        n = warmup(shapes=((6, 1, 0),), dtype=np.float32, refined=True)
+        assert n == 2
