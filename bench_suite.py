@@ -173,6 +173,64 @@ def config2():
     print(f"config2 batched solved {solved}/{reps * B}", file=sys.stderr)
     _emit("lp_n100_batch256_lps", lps, "LP/s")
 
+    # Batched criss-cross (the reference's exported solveLP; no Phase-1) at
+    # the size class the least-index rule handles: its pivot count blows
+    # past max_iter at N=100 (the reference's CCLP would exhaust the same
+    # 7777 budget there — parity), so this column runs N=40.
+    from ssqp_tpu.parallel.batch import solve_lp_batch_cclp
+
+    Nc, Mc, Jc = 40, 4, 8
+    rngc = np.random.default_rng(7)
+    Ac = rngc.standard_normal((Mc, Nc)).astype(np.float32)
+    Gc = rngc.standard_normal((Jc, Nc)).astype(np.float32)
+
+    def cc_batch(i):
+        rl = np.random.default_rng(2000 + i)
+        X0 = rl.uniform(0.1, 1.0, (B, Nc)).astype(np.float32)
+        cB = rl.standard_normal((B, Nc)).astype(np.float32)
+        bB = (X0 @ Ac.T).astype(np.float32)
+        gB = (X0 @ Gc.T
+              + rl.uniform(0.1, 1.0, (B, Jc))).astype(np.float32)
+        return cB, bB, gB
+
+    Pc0 = make_lp(cc_batch(0)[0][0], Ac, cc_batch(0)[1][0], G=Gc,
+                  g=cc_batch(0)[2][0], d=np.zeros(Nc, np.float32),
+                  u=np.full(Nc, 2.0, np.float32), dtype=np.float32)
+    CBGc = jax.device_put(tuple(
+        jnp.stack(x) for x in zip(*(cc_batch(1 + i) for i in range(reps)))
+    ))
+    np.asarray(CBGc[0].sum())
+
+    @jax.jit
+    def chained_cc(CBG):
+        cS, bS, gS = CBG
+
+        def body(i, acc):
+            F, ST = acc
+            Pb = dataclasses.replace(Pc0, c=cS[i], b=bS[i], g=gS[i])
+            r = solve_lp_batch_cclp(Pb, s, shared=shared)
+            f = jnp.sum(Pb.c * r.x, axis=1)
+            return (F.at[i].set(f), ST.at[i].set(r.status))
+
+        return jax.lax.fori_loop(
+            0, reps, body,
+            (jnp.zeros((reps, B), jnp.float32),
+             jnp.zeros((reps, B), jnp.int32)))
+
+    warm_cc = jax.device_put(tuple(
+        jnp.broadcast_to(x[0], (reps,) + x[0].shape) for x in CBGc
+    ))
+    np.asarray(chained_cc(warm_cc)[1])
+    t0 = time.perf_counter()
+    F, ST = chained_cc(CBGc)
+    ST = np.asarray(ST)
+    _ = np.asarray(F)
+    lps_cc = B / ((time.perf_counter() - t0) / reps)
+    solved_cc = int((ST >= 1).sum())
+    print(f"config2 criss-cross (N={Nc}) solved {solved_cc}/{reps * B}",
+          file=sys.stderr)
+    _emit(f"lp_n{Nc}_batch256_cclp_lps", lps_cc, "LP/s")
+
 
 def config3():
     """Batched frontier: 1024 QPs, N=128, shared V, varying q."""

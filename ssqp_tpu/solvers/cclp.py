@@ -90,16 +90,24 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
         OH = (B[:, None] == arange[None, :]).astype(dtype)  # (R, Nt)
         A_B = A1 @ OH.T
         invB = st.invB
+        # TWO Newton refinement steps per iteration (vs simplex.py's one):
+        # least-index pivots are not ratio-test-guarded, so criss-cross
+        # routinely takes tiny pivots whose product-form update inflates the
+        # inverse error; each Newton step squares the error, so two steps
+        # restore tol-level accuracy from drift up to tol^(1/4) (~0.11 at
+        # the f32 tier, vs 0.004 with one step — which made f32 solves at
+        # N >= 24 exit -1 on a large fraction of instances).
+        eyeR = jnp.eye(R, dtype=dtype)
         E = A_B @ invB
-        invB = invB @ (2.0 * jnp.eye(R, dtype=dtype) - E)
+        invB = invB @ (2.0 * eyeR - E)
+        invB = invB @ (2.0 * eyeR - A_B @ invB)
         xB = invB @ b1
         w = invB.T @ (OH @ c1)
         h = c1 - A1.T @ w
-        # drift gate on the maintained inverse (same rationale as
-        # solvers/simplex.py): pre-refresh error beyond sqrt(tol) means
-        # Newton refinement no longer restores tol-level accuracy and a
+        # drift gate on the maintained inverse: beyond tol^(1/4) even two
+        # Newton steps no longer restore tol-level accuracy and a
         # finite-but-wrong inverse could certify a wrong optimum.
-        drift = jnp.max(jnp.abs(E - jnp.eye(R, dtype=dtype))) > jnp.sqrt(tol)
+        drift = jnp.max(jnp.abs(E - eyeR)) > tol ** 0.25
         numbad = ~(jnp.all(jnp.isfinite(xB)) & jnp.all(jnp.isfinite(h))
                    & jnp.all(jnp.isfinite(invB))) | drift
 
