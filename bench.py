@@ -153,9 +153,13 @@ def main():
     except Exception as e:  # audit is best-effort; never sink the bench
         print(f"accuracy audit skipped: {e}", file=sys.stderr)
 
+    ok_st = ST[ST > 0]  # status encodes the S-loop iteration count
     print(
         f"solved {solved}/{reps * batch} (+warmup {ok0}/{batch}) N={N} "
-        f"mean {t:.4f}s/batch ({qps:.1f}/s), max objective gap vs f64 = {gap:.2e}",
+        f"mean {t:.4f}s/batch ({qps:.1f}/s), S-iterations med "
+        f"{np.median(ok_st) if ok_st.size else -1:.0f} max "
+        f"{ok_st.max() if ok_st.size else -1}, "
+        f"max objective gap vs f64 = {gap:.2e}",
         file=sys.stderr,
     )
     print(json.dumps({
