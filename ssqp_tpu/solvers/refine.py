@@ -146,21 +146,34 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2,
 
     # Acceptance guard: the refined point solves the LABELED active set
     # exactly, so a single borderline mislabeled row (polish snaps statuses
-    # within tol) can displace it far from the optimum. Accept only if the
-    # refined point stays primal-feasible and does not worsen the objective
-    # — otherwise return the searched point untouched. Feasibility semantics
-    # are the solver's own oracle (ssqp._primal_feasible on the
-    # full-precision problem data).
-    from ssqp_tpu.solvers.ssqp import _primal_feasible
+    # within tol) can displace it far from the optimum — and an
+    # ill-conditioned f32 factor can stall the sweeps at a point that UNDER-
+    # satisfies the constraints while "improving" the objective by cheating
+    # feasibility (observed: 3e-5 equality violation buying a lower f).
+    # Accept only if the refined point does not worsen the objective AND
+    # does not DEGRADE primal feasibility beyond the searched point's own
+    # violation (floored at tol) — otherwise return the searched point.
+    from ssqp_tpu.solvers.ssqp import _primal_violation
 
     x_old = res.x.astype(hi)
     V64 = Q.V.astype(hi)
     q64 = Q.q.astype(hi)
     fobj = lambda xx: 0.5 * xx @ (V64 @ xx) + q64 @ xx
     ftol = jnp.asarray(jnp.sqrt(settings.tol), hi)
-    feas = _primal_feasible(Q, x_ref, ftol)
+    tol_hi = jnp.asarray(settings.tol, hi)
+    viol_ref = _primal_violation(Q, x_ref)
+    viol_old = _primal_violation(Q, x_old)
+    feas = viol_ref <= jnp.maximum(viol_old, tol_hi)
     better = fobj(x_ref) <= fobj(x_old) + ftol
-    ok = (res.status > 0) & feas & better
+    # filter-style rescue: when the searched point is MATERIALLY infeasible
+    # (a feasibility-cheating f32 vertex can show a lower objective than any
+    # feasible point), a refined point that (near-)restores feasibility is
+    # accepted even at objective cost — comparing objectives across
+    # different feasibility levels is meaningless
+    rescue = (viol_old > 10.0 * tol_hi) & (
+        viol_ref <= jnp.maximum(0.1 * viol_old, tol_hi)
+    )
+    ok = (res.status > 0) & feas & (better | rescue)
     # x stays in the RESIDUAL dtype (BigFloat-tier semantics: the answer is
     # higher-precision than the work dtype)
     x_out = jnp.where(ok, x_ref, x_old)

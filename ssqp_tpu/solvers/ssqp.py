@@ -607,14 +607,22 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
     return z, Sx, Se, sol
 
 
-def _primal_feasible(Q: QP, x, ftol):
-    ok = jnp.all(jnp.isfinite(x))
+def _primal_violation(Q: QP, x):
+    """Max primal constraint violation at ``x`` (0 when feasible; +inf on
+    non-finite points). Shared by the feasibility gates here and the
+    refinement acceptance guard (solvers/refine.py)."""
+    v = jnp.where(jnp.all(jnp.isfinite(x)), 0.0, jnp.inf).astype(x.dtype)
     if Q.M > 0:
-        ok = ok & (jnp.max(jnp.abs(Q.A @ x - Q.b)) <= ftol)
+        v = jnp.maximum(v, jnp.max(jnp.abs(Q.A @ x - Q.b)))
     if Q.J > 0:
-        ok = ok & (jnp.max(Q.G @ x - Q.g) <= ftol)
-    ok = ok & jnp.all(x >= Q.d - ftol) & jnp.all(x <= Q.u + ftol)
-    return ok
+        v = jnp.maximum(v, jnp.max(Q.G @ x - Q.g))
+    v = jnp.maximum(v, jnp.max(Q.d - x))
+    v = jnp.maximum(v, jnp.max(x - Q.u))
+    return jnp.maximum(v, 0.0)
+
+
+def _primal_feasible(Q: QP, x, ftol):
+    return _primal_violation(Q, x) <= ftol
 
 
 def solve_qp_auto_core(

@@ -74,3 +74,33 @@ def test_kkt_residual_fixed_variable_free_sign():
         x = np.array([1.0, 0.0])  # optimum: x1 free at its unconstrained 0
         r = kkt_residual(V, q, A, b, G, g, d, u, x)
         assert r["max"] < 1e-8, (q0, r)
+
+
+def test_refinement_rescues_feasibility_cheating_search_point():
+    """Regression (found by differential soak, seed 20042): an f32 search can
+    return a vertex that buys a lower objective by violating constraints at
+    ~2x its tolerance; the refinement guard must accept the exactly-feasible
+    refined point even though its objective is 'worse' than the cheater's."""
+    import jax.numpy as jnp
+
+    from ssqp_tpu.solvers.refine import solve_qp_refined
+
+    rng = np.random.default_rng(20_042)
+    N = int(rng.integers(1, 7)) * 4
+    M = int(rng.integers(1, min(N, 4)))
+    J = int(rng.integers(0, 5))
+    H = rng.standard_normal((N, N))
+    V = H @ H.T / N + rng.uniform(0.05, 0.6) * np.eye(N)
+    A = rng.standard_normal((M, N))
+    x0 = rng.uniform(0.2, 0.8, N)
+    b = A @ x0
+    G = rng.standard_normal((J, N))
+    g = G @ x0 + rng.uniform(0.05, 1.0, J)
+    _ = rng.standard_normal(N)
+    q = rng.standard_normal(N)
+    Q = make_qp(V, q, A, b, G=G, g=g, d=np.zeros(N), u=np.full(N, 2.0))
+    r = solve_qp_refined(Q, search_dtype=jnp.float32)
+    assert int(r.status) > 0
+    x = np.asarray(r.x)
+    assert np.abs(A @ x - b).max() < 1e-9
+    assert (G @ x - g).max() < 1e-9
