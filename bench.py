@@ -46,6 +46,11 @@ def main():
     dtype = jnp.float32
 
     settings = Settings.for_dtype(dtype)
+    if os.environ.get("BENCH_PDAS_PRECOND") == "0":
+        # A/B knob for the PDAS round-1 closed-form solve (Settings.pdas_precond)
+        import dataclasses
+
+        settings = dataclasses.replace(settings, pdas_precond=False)
     rng = np.random.default_rng(7)
     H = rng.standard_normal((N, N))
     V = H @ H.T / N + 0.5 * np.eye(N)

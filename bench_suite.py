@@ -526,10 +526,166 @@ def config6():
     _emit("ours_lp_n100_latency", float(np.mean(t_ours)) * 1e3, "ms")
 
 
+def config7():
+    """Reference-dataset protocol parity (reference examples/SSQPspeed.jl:
+    41-75 datasets, 128-163 mu-sweep, 190-227 L-sweep): the :Ungil-structure
+    N=14 market and an SP500-scale N=263 near-singular covariance
+    (ssqp_tpu/utils/problems.py::ungil_like/sp500_like — deterministic
+    stand-ins; the reference's actual data are runtime downloads), swept
+    WARM with 16 points per detected frontier segment in BOTH
+    parameterizations, then audited against f64 references with the
+    quantile protocol (||x-z||inf + relative objective gap). The f32 sweep
+    is additionally refined through the mixed-precision tier
+    (solvers/refine.py) — the recipe that must meet <1e-6 objgap on the
+    ill-conditioned N=263 case."""
+    import dataclasses
+
+    from ssqp_tpu.models.frontier import (
+        frontier_mu_sweep, frontier_mu_warm_sweep, frontier_warm_sweep,
+    )
+    from ssqp_tpu.solvers.refine import refine_result
+    from ssqp_tpu.types import QP, Result, Settings, make_qp
+    from ssqp_tpu.utils.problems import sp500_like, ungil_like
+
+    s32 = Settings.for_dtype(jnp.float32)
+    s64 = Settings()
+    PTS = 16      # points per segment (reference M=16, SSQPspeed.jl:128)
+    FINE = 256    # fixed fine-grid length (one compiled scan per dataset)
+    COARSE = 64
+    N_REF = 96    # f64 reference solves per dataset (accuracy audit)
+
+    E1, V1, A1, b1, G1, g1, d1, u1 = ungil_like()
+    E2, V2, u2 = sp500_like()
+    datasets = [
+        ("ungil_n14", E1, V1, dict(A=A1, b=b1, G=G1, g=g1, d=d1, u=u1),
+         (1e-3, 50.0)),
+        ("sp500_n263", E2, V2, dict(u=u2), (1e-3, 3.0)),
+    ]
+
+    for name, E, V, kw, (lam_lo, lam_hi) in datasets:
+        N = len(E)
+        f32c = lambda a: np.asarray(a, np.float32)
+        kw32 = {k: f32c(v) for k, v in kw.items()}
+        Q32 = make_qp(f32c(V), np.zeros(N, np.float32), dtype=np.float32,
+                      **kw32)
+        rets = jnp.asarray(E, jnp.float32)
+        lams_c = jnp.asarray(
+            np.concatenate([[0.0], np.geomspace(lam_lo, lam_hi, COARSE - 1)]),
+            jnp.float32)
+
+        # 1) coarse L-sweep: feasible return range + L-grid shape
+        fl = frontier_warm_sweep(Q32, rets, lams_c, s32)
+        ret_c = np.asarray(fl.ret, np.float64)
+        rmin, rmax = float(ret_c.min()), float(ret_c.max())
+        span = rmax - rmin
+        mus_c = np.linspace(rmin + 0.01 * span, rmax - 0.01 * span, COARSE)
+
+        # 2) coarse mu-sweep -> segment breakpoints (active-set changes)
+        fmc = frontier_mu_warm_sweep(Q32, rets, jnp.asarray(mus_c, jnp.float32),
+                                     s32)
+        Sc = np.asarray(fmc.S)
+        brk = np.nonzero(np.any(Sc[1:] != Sc[:-1], axis=1))[0]
+        edges = np.unique(np.concatenate([[0], brk + 1, [COARSE - 1]]))
+        n_seg = len(edges) - 1
+        # 16 points per segment, evenly subsampled to the fixed FINE length
+        fine = np.concatenate([
+            np.linspace(mus_c[edges[k]], mus_c[edges[k + 1]], PTS,
+                        endpoint=False)
+            for k in range(n_seg)] + [[mus_c[edges[-1]]]])
+        n_true = len(fine)
+        if n_true > FINE:
+            print(f"config7 {name}: {n_seg} segments x {PTS} = {n_true} pts "
+                  f"subsampled to {FINE}", file=sys.stderr)
+            fine = fine[np.linspace(0, n_true - 1, FINE).astype(int)]
+        else:
+            fine = np.concatenate([fine, np.full(FINE - n_true, fine[-1])])
+        mus_f = jnp.asarray(fine, jnp.float32)
+
+        # 3) TIMED warm mu-sweep (one dispatch: the scan is inside the jit).
+        # Warm-up on a jittered grid (fresh data in the timed call — the
+        # runtime memoizes identical dispatches), materialize ret+status.
+        warm_grid = mus_f + jnp.float32(1e-5 * span)
+        np.asarray(frontier_mu_warm_sweep(Q32, rets, warm_grid, s32).ret)
+        t0 = time.perf_counter()
+        fm = frontier_mu_warm_sweep(Q32, rets, mus_f, s32)
+        st_mu = np.asarray(fm.status)
+        np.asarray(fm.ret)
+        t_mu = (time.perf_counter() - t0) / FINE
+        _emit(f"{name}_mu_warm_sweep_per_point", t_mu * 1e3, "ms")
+
+        # 4) TIMED warm L-sweep (geometric grid over the transition range)
+        lams_f = jnp.asarray(
+            np.concatenate([[0.0], np.geomspace(lam_lo, lam_hi, FINE - 1)]),
+            jnp.float32)
+        np.asarray(frontier_warm_sweep(
+            Q32, rets, lams_f * jnp.float32(1.0001), s32).ret)
+        t0 = time.perf_counter()
+        flf = frontier_warm_sweep(Q32, rets, lams_f, s32)
+        st_L = np.asarray(flf.status)
+        np.asarray(flf.ret)
+        t_L = (time.perf_counter() - t0) / FINE
+        _emit(f"{name}_L_warm_sweep_per_point", t_L * 1e3, "ms")
+        print(f"config7 {name}: {n_seg} segments, mu-warm solved "
+              f"{(st_mu > 0).sum()}/{FINE}, L-warm solved "
+              f"{(st_L > 0).sum()}/{FINE}", file=sys.stderr)
+
+        # 5) accuracy audit vs f64 references (CPU, cold trusted solves) on
+        # a subsample of the fine mu grid; quantile protocol like bench.py
+        idx = np.linspace(0, FINE - 1, N_REF).astype(int)
+        x32 = np.asarray(fm.x, np.float64)[idx]
+
+        # mixed-precision tier: refine the sampled points on the f64 data
+        A64 = np.asarray(kw.get("A", np.ones((1, N))))
+        Q64 = make_qp(V, np.zeros(N), dtype=np.float64, **kw)
+        AG_mu = np.vstack([A64, E[None, :]])
+        Qmu = QP(jnp.asarray(V), jnp.asarray(AG_mu), Q64.G,
+                 jnp.zeros(N), jnp.zeros(A64.shape[0] + 1), Q64.g,
+                 Q64.d, Q64.u, N, A64.shape[0] + 1, Q64.J, Q64.mc)
+        b_base = np.asarray(Q64.b)
+        bs = jnp.asarray(np.concatenate(
+            [np.broadcast_to(b_base, (N_REF, len(b_base))),
+             fine[idx][:, None]], axis=1))
+        ax = QP(None, None, None, None, 0, None, None, None, N, Qmu.M,
+                Qmu.J, Qmu.mc)
+        res_in = Result(jnp.asarray(x32), fm.S[idx], fm.status[idx])
+        refined = jax.vmap(
+            lambda bb, r: refine_result(
+                dataclasses.replace(Qmu, b=bb), r, s64, 2, with_duals=False),
+            in_axes=(0, Result(0, 0, 0)),
+        )(bs, res_in)
+        xr = np.asarray(refined.x, np.float64)
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            f64ref = frontier_mu_sweep(
+                make_qp(V, np.zeros(N), dtype=np.float64, **kw),
+                jnp.asarray(E), jnp.asarray(fine[idx]), s64)
+        ok64 = np.asarray(f64ref.status) > 0
+        z = np.asarray(f64ref.x, np.float64)
+
+        def fobj(X):
+            return 0.5 * np.einsum("bi,ij,bj->b", X, V, X)
+
+        fz = fobj(z)
+        qt = lambda a: {k: float(np.quantile(a, p)) for k, p in
+                        (("q01", 0.01), ("median", 0.5), ("q99", 0.99),
+                         ("max", 1.0))}
+        for tag, X in (("f32", x32), ("refined", xr)):
+            gaps = np.abs(fobj(X) - fz) / np.maximum(1.0, np.abs(fz))
+            xinf = np.abs(X - z).max(axis=1)
+            gaps, xinf = gaps[ok64], xinf[ok64]
+            print(f"config7 {name} {tag} ({int(ok64.sum())} f64 refs): "
+                  f"objgap {qt(gaps)} xinf {qt(xinf)}", file=sys.stderr)
+            _emit(f"{name}_{tag}_objgap_max", float(gaps.max()), "rel")
+        _emit(f"{name}_refined_xinf_median",
+              float(np.quantile(np.abs(xr - z).max(axis=1)[ok64], 0.5)),
+              "abs")
+
+
 def main():
     which = sys.argv[1:] if len(sys.argv) > 1 else ["all"]
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
-               "5": config5, "6": config6}
+               "5": config5, "6": config6, "7": config7}
     if "all" in which:
         which = sorted(configs)
     for k in which:

@@ -39,6 +39,7 @@ __all__ = [
     "MC_DEGENERATE_BOUNDS", "MC_NOT_PSD",
     "solve_qp", "simplex_lp", "solve_lp", "box_lp", "solve_qp_refined",
     "qp_frontier_L", "qp_frontier_mu", "Model", "read_mps", "solve_mps",
+    "write_mps",
 ]
 
 __version__ = "0.1.0"
@@ -63,7 +64,7 @@ def __getattr__(name):  # lazy imports to keep package import light
     if name == "Model":
         from ssqp_tpu.model import Model
         return Model
-    if name in ("read_mps", "solve_mps"):
+    if name in ("read_mps", "solve_mps", "write_mps"):
         from ssqp_tpu.utils import mps
         return getattr(mps, name)
     raise AttributeError(f"module 'ssqp_tpu' has no attribute {name!r}")

@@ -83,6 +83,9 @@ class Model:
         self._result: Optional[Result] = None
         self._problem = None
         self.solve_time = 0.0
+        # set by utils/mps.py::read_mps(relax_integers=True): the model is a
+        # MIP's continuous relaxation, so OPTIMAL refers to the relaxation
+        self.relaxed_integers = False
 
     # ---- variables --------------------------------------------------------
     def add_variable(self, lb=-np.inf, ub=np.inf) -> int:
@@ -351,10 +354,10 @@ class Model:
 
     def dual_status(self) -> str:
         """FEASIBLE_POINT when a dual certificate is attached to a SOLVED
-        problem (the QP path computes one; this *exceeds* the reference,
-        whose ConstraintDual / DualObjectiveValue are unsupported,
-        MOIwrapper.jl:255-257). Unsolved/failed/infeasible results, and LP
-        engines (which attach no certificate), report NO_SOLUTION."""
+        problem (both the QP path and the LP engines compute one; this
+        *exceeds* the reference, whose ConstraintDual / DualObjectiveValue
+        are unsupported, MOIwrapper.jl:255-257). Unsolved/failed/infeasible
+        results report NO_SOLUTION."""
         if self._result is None or int(self._result.status) <= 0:
             return NO_SOLUTION
         if getattr(self._result, "lam", None) is None:
@@ -362,14 +365,17 @@ class Model:
         return FEASIBLE_POINT
 
     def duals(self) -> dict:
-        """Dual certificates at the solution (QP path only; raises otherwise).
+        """Dual certificates at the solution (QP and LP paths; raises when
+        no certificate was attached, e.g. a failed solve).
 
         Returns dict(eq=(M,), ineq=(J,), bounds=(N,)) in assembled row order,
         MIN-sense convention: stationarity ``Vx + q + A'eq + G'ineq = bounds``
-        with ``ineq >= 0`` on active rows and ``bounds >= 0`` at lower /
-        ``<= 0`` at upper bounds. For a MAX-sense model the internal
-        objective was negated, so negate the returned duals to interpret
-        them against the original objective.
+        (for LPs, ``c + A'eq + G'ineq = bounds``) with ``ineq >= 0`` on
+        active rows and ``bounds >= 0`` at lower / ``<= 0`` at upper bounds.
+        For a MAX-sense model the internal objective was negated, so negate
+        the returned duals to interpret them against the original objective.
+        scipy.linprog sign map: its eqlin/ineqlin marginals are ``-eq``/
+        ``-ineq``; its lower/upper marginals equal ``bounds`` there.
         """
         if self._result is None or getattr(self._result, "lam", None) is None:
             raise ValueError("no dual certificate available for this solve")

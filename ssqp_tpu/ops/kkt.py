@@ -154,6 +154,10 @@ def _vp_cg_vmap(axis_size, in_batched, V, fm, B, dinv, tol2, iters, X0):
     V_b, fm_b, B_b, dinv_b, tol2_b, it_b, X0_b = in_batched
     dd = jax.config.jax_default_device
     on_cpu = dd is not None and getattr(dd, "platform", None) == "cpu"
+    # NOTE: the SSQP_PALLAS_CG / SSQP_NO_PALLAS env vars are read at TRACE
+    # time and baked into the jit-cached program — toggling them after the
+    # first dispatch of a given shape has no effect until caches are cleared
+    # (jax.clear_caches()). Same for SSQP_NO_PALLAS in spd_solve above.
     use_pallas = (
         jax.default_backend() == "tpu"
         and not on_cpu
@@ -174,7 +178,7 @@ def _vp_cg_vmap(axis_size, in_batched, V, fm, B, dinv, tol2, iters, X0):
         )
     else:
         axes = tuple(0 if b else None for b in
-                     (V_b, fm_b, B_b, dinv_b, tol2_b, False, X0_b))
+                     (V_b, fm_b, B_b, dinv_b, tol2_b, it_b, X0_b))
         X, rr = jax.vmap(_vp_cg_xla, in_axes=axes)(
             V, fm, B, dinv, tol2, iters, X0
         )
@@ -282,6 +286,52 @@ def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol,
     return (res, sol) if return_sol else res
 
 
+def kkt_allfree_shared(V, W, q, AG, bg, keep, ridge):
+    """All-free KKT solve through a precomputed ``W ~= V^{-1}``.
+
+    PDAS round 1 (solvers/ssqp.py::_guess_start) always starts from the
+    all-IN / all-OE status vector, so its KKT system is the UNMASKED
+    equality solve: ``V`` and the kept rows are shared across an instance
+    batch (only ``q``/``bg`` vary on the headline frontier sweeps). With a
+    one-time ``W = (V + ridge I)^{-1}`` every quantity that does not depend
+    on ``q`` — ``mT = W Ap'``, the Schur complement ``C`` and its Cholesky
+    factor — is batch-invariant and hoists out of `vmap`: the whole round
+    costs a handful of shared-matrix GEMMs instead of the ~14+ Jacobi-CG
+    iterations the padded operator needs cold (measured: cond(Vp) ~ 9 on
+    the headline covariance => 14 CG iterations at rtol 1e-4; this path
+    replaces them with 2 GEMM-equivalents). Replaces the hot-kernel role of
+    the reference's first factorization (SSQP.jl:276-332) for round 1 only.
+
+    Returns ``(KKTResult, sol)`` with the same contract/layout as
+    ``kkt_solve_cg(..., return_sol=True)`` so round 2 warm-starts from it.
+    """
+    dtype = V.dtype
+    km = keep.astype(dtype)
+    cp = q  # z_bound = 0 and free = all-ones at round 1
+    w = W @ cp
+    if AG.shape[0] == 0:
+        alphaL = jnp.zeros((0,), dtype)
+        alpha = -w
+        sol = w[:, None]
+    else:
+        Ap = AG * km[:, None]
+        bp = km * bg
+        mT = W @ Ap.T
+        C = Ap @ mT
+        C = (C + C.T) / 2 + jnp.diag((1.0 - km) + ridge * km)
+        # plain XLA Cholesky (NOT spd_solve: its batching rule broadcasts
+        # unbatched operands to full batch, defeating the hoist this path
+        # exists for). C is shared => one factorization per dispatch.
+        L = _chol(C, lower=True)
+        alphaL = -cho_solve((L, True), Ap @ w + bp)
+        alpha = -(mT @ alphaL + w)
+        sol = jnp.concatenate([w[:, None], mT], axis=1)
+    gamma = V @ alpha + q + (AG.T @ (km * alphaL) if AG.shape[0] else 0.0)
+    ok = jnp.all(jnp.isfinite(alpha)) & jnp.all(jnp.isfinite(alphaL))
+    res = KKTResult(alpha, alpha, alphaL, gamma, ok)
+    return res, sol
+
+
 def kkt_solve(V, q, AG, bg, z, free, keep, ok_rtol=1e-8) -> KKTResult:
     """Solve the working-set equality QP at full padded shape.
 
@@ -373,9 +423,16 @@ def recover_duals(V, q, AG, z, free, act_rows, ridge=None):
 
     Returns (y, gamma) with y zero on inactive rows.
     """
-    dtype = V.dtype
+    return recover_duals_grad(V @ z + q, AG, free, act_rows, ridge=ridge)
+
+
+def recover_duals_grad(grad, AG, free, act_rows, ridge=None):
+    """Gradient-form of :func:`recover_duals` — shared by the QP path
+    (``grad = V z + q``) and the LP engines (``grad = c``), which makes every
+    solve return dual certificates (capability the reference lacks,
+    MOIwrapper.jl:255-257)."""
+    dtype = grad.dtype
     fm = free.astype(dtype)
-    grad = V @ z + q
     if AG.shape[0] == 0:
         return jnp.zeros((0,), dtype), grad
     am = act_rows.astype(dtype)

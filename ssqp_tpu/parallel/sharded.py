@@ -66,8 +66,9 @@ def solve_qp_sharded(
     ``infeasible`` (#status==0, psum).
     """
     from ssqp_tpu.solvers.ssqp import solve_qp_auto
-    from ssqp_tpu.parallel.batch import qp_axes
+    from ssqp_tpu.parallel.batch import qp_axes, settings_for_shared
 
+    settings = settings_for_shared(settings, shared)
     ax = qp_axes(Q, shared)
     in_specs = _spec_tree(Q, shared, axis)
     out_specs = (

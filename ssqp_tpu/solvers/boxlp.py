@@ -34,4 +34,8 @@ def box_lp(P: LP, *, settings: Settings | None = None, minimize: bool = True) ->
     many = jnp.any(zero)
     status = jnp.where(unbounded, 3, jnp.where(many, 2, 1)).astype(jnp.int32)
     x = jnp.where(jnp.isfinite(x), x, 0.0)  # cosmetic value on unbounded coords
-    return Result(x, S, status)
+    # dual certificate: no rows, so the reduced gradient IS the (minimized)
+    # cost; min-sense convention like the simplex/cclp engines
+    ok = status > 0
+    gamma = jnp.where(ok, c, jnp.zeros_like(c))
+    return Result(x, S, status, jnp.zeros((0,), c.dtype), gamma)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ssqp_tpu.ops.masked_gj import masked_gj_purge, masked_independent_cols
 from ssqp_tpu.solvers.phase1 import recover_x_status, standardize_bounded
 from ssqp_tpu.solvers.simplex import bounded_simplex
-from ssqp_tpu.types import DN, IN, LP, OE, Result, Settings, UP
+from ssqp_tpu.types import DN, EO, IN, LP, OE, Result, Settings, UP
 from ssqp_tpu.utils.precision import highest_matmul
 
 
@@ -152,7 +152,36 @@ def simplex_lp_traced(P: LP, settings: Settings, minimize: bool = True) -> Resul
         infeasible, 0, jnp.where(p1_fail, p1_code, status)
     ).astype(jnp.int32)
     S = jnp.concatenate([So, Se]) if J > 0 else So
-    return Result(xo, S, status)
+    return _attach_lp_duals(Result(xo, S, status), c, A, G, minimize)
+
+
+def _attach_lp_duals(res: Result, c, A, G, minimize: bool) -> Result:
+    """Least-squares dual certificates at the labeled active set — the LP
+    twin of the QP path's recovery (Result.lam/.gamma; the reference
+    produces no duals at all, MOIwrapper.jl:255-257).
+
+    MIN-sense convention regardless of ``minimize``: the certificate is for
+    the objective actually minimized (``-c`` when maximizing), so
+    stationarity reads ``c_eff + [A;G]'lam = gamma`` with lam >= 0 on active
+    inequality rows, gamma >= 0 at lower / <= 0 at upper bounds. Zeroed on
+    non-optimal exits.
+    """
+    from ssqp_tpu.ops.kkt import recover_duals_grad
+
+    M, J = A.shape[0], G.shape[0]
+    N = c.shape[0]
+    ceff = c if minimize else -c
+    AG = jnp.concatenate([A, G], axis=0) if J > 0 else A
+    free = res.S[:N] == IN
+    act = (
+        jnp.concatenate([jnp.ones((M,), bool), res.S[N:] == EO])
+        if J > 0 else jnp.ones((M,), bool)
+    )
+    lam, gamma = recover_duals_grad(ceff, AG, free, act)
+    ok = res.status > 0
+    lam = jnp.where(ok, lam, jnp.zeros_like(lam)) if lam.shape[0] else lam
+    gamma = jnp.where(ok, gamma, jnp.zeros_like(gamma))
+    return Result(res.x, res.S, res.status, lam, gamma)
 
 
 def simplex_lp(P: LP, *, settings: Settings | None = None, minimize: bool = True) -> Result:

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from ssqp_tpu.ops.kkt import (
-    kkt_solve, kkt_solve_cg, recover_dropped_multipliers, recover_duals,
+    kkt_allfree_shared, kkt_solve, kkt_solve_cg,
+    recover_dropped_multipliers, recover_duals,
 )
 from ssqp_tpu.ops.masked_gj import masked_gj_purge, masked_gj_purge_col
 from ssqp_tpu.types import DN, EO, IN, OE, QP, UP, Result, Settings
@@ -546,7 +547,13 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
     the rounds run on the cheap CG budget (Settings.pdas_cg_iters /
     pdas_rtol — identification needs signs, not solver-accuracy residuals),
     and each round warm-starts its multi-RHS CG from the previous round's
-    raw solution (successive rounds differ only in a few mask entries)."""
+    raw solution (successive rounds differ only in a few mask entries).
+    Round 1 is special-cased: from the all-IN start its KKT system is the
+    unmasked equality solve, shared across an instance batch except for the
+    linear terms, so with Settings.pdas_precond it is solved in closed form
+    through a one-time W ~= V^{-1} (ops/kkt.py::kkt_allfree_shared) whose
+    factorizations hoist out of `vmap` — replacing the most expensive cold
+    CG round with a couple of shared GEMMs."""
     N, M, J = Q.N, Q.M, Q.J
     dtype = Q.V.dtype
     AG = jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A
@@ -558,18 +565,11 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
     # dtype eps so the f32 Schur solve stays stably invertible.
     ridge = jnp.asarray(100.0 * float(jnp.finfo(dtype).eps), dtype)
 
-    def round_body(carry):
-        it, Sx, Se, z, sol, _ = carry
-        free = Sx == IN
-        keep = (
-            jnp.concatenate([jnp.ones((M,), bool), Se == EO])
-            if J > 0 else jnp.ones((M,), bool)
-        )
-        zb = jnp.where(Sx == UP, Q.u, jnp.where(Sx == DN, Q.d, 0.0))
-        res, sol = kkt_solve_cg(Q.V, Q.q, AG, bg, zb, free, keep,
-                                cg_it, settings.pdas_rtol, ridge=ridge,
-                                x0=sol, return_sol=True)
+    def _update(Sx, Se, res):
+        """Semismooth-Newton status rebuild from a KKT candidate (shared by
+        the closed-form round 1 and the CG rounds)."""
         alpha, gamma = res.alpha, res.gamma
+        free = Sx == IN
         up = (free & fu & (alpha >= Q.u)) | ((Sx == UP) & (gamma <= 0))
         dn = (free & fd & (alpha <= Q.d)) | ((Sx == DN) & (gamma >= 0))
         Sx_new = jnp.where(up, UP, jnp.where(dn, DN, IN)).astype(jnp.int8)
@@ -585,7 +585,20 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
             ).astype(jnp.int8)
         else:
             Se_new = Se
-        z_new = jnp.clip(alpha, Q.d, Q.u)
+        return Sx_new, Se_new, jnp.clip(alpha, Q.d, Q.u)
+
+    def round_body(carry):
+        it, Sx, Se, z, sol, _ = carry
+        free = Sx == IN
+        keep = (
+            jnp.concatenate([jnp.ones((M,), bool), Se == EO])
+            if J > 0 else jnp.ones((M,), bool)
+        )
+        zb = jnp.where(Sx == UP, Q.u, jnp.where(Sx == DN, Q.d, 0.0))
+        res, sol = kkt_solve_cg(Q.V, Q.q, AG, bg, zb, free, keep,
+                                cg_it, settings.pdas_rtol, ridge=ridge,
+                                x0=sol, return_sol=True)
+        Sx_new, Se_new, z_new = _update(Sx, Se, res)
         changed = jnp.any(Sx_new != Sx) | jnp.any(Se_new != Se)
         return it + 1, Sx_new, Se_new, z_new, sol, changed
 
@@ -597,9 +610,36 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
     Se0 = jnp.full((J,), OE, jnp.int8)
     z0 = jnp.zeros((N,), dtype)
     sol0 = jnp.zeros((N, 1 + M + J), dtype)
+    it0 = jnp.asarray(0, jnp.int32)
+    if settings.pdas_precond:
+        from jax.scipy.linalg import cho_solve, cholesky as _chol
+
+        eye = jnp.eye(N, dtype=dtype)
+        # W only preconditions/identifies — a small spectral shift keeps the
+        # Cholesky stable on merely-PSD V without hurting sign decisions.
+        scale = jnp.maximum(jnp.mean(jnp.diag(Q.V)),
+                            jnp.asarray(1.0, dtype))
+        Lw = _chol(Q.V + (100.0 * float(jnp.finfo(dtype).eps)) * scale * eye,
+                   lower=True)
+        W = cho_solve((Lw, True), eye)
+        keep0 = (
+            jnp.concatenate([jnp.ones((M,), bool), jnp.zeros((J,), bool)])
+            if J > 0 else jnp.ones((M,), bool)
+        )
+        res1, sol1 = kkt_allfree_shared(Q.V, W, Q.q, AG, bg, keep0, ridge)
+        Sx1, Se1, z1 = _update(Sx0, Se0, res1)
+        # A failed Cholesky (V not numerically PD even shifted) yields
+        # non-finite candidates: start the loop cold instead of poisoning
+        # its warm-start carry.
+        good = res1.ok
+        Sx0 = jnp.where(good, Sx1, Sx0)
+        Se0 = jnp.where(good, Se1, Se0)
+        z0 = jnp.where(good, z1, z0)
+        sol0 = jnp.where(good, sol1, sol0)
+        it0 = jnp.where(good, 1, 0).astype(jnp.int32)
     _, Sx, Se, z, sol, _ = jax.lax.while_loop(
         round_cond, round_body,
-        (jnp.asarray(0, jnp.int32), Sx0, Se0, z0, sol0, jnp.asarray(True)),
+        (it0, Sx0, Se0, z0, sol0, jnp.asarray(True)),
     )
     # ``sol`` is the final round's raw CG solution: the S-loop's first
     # iteration solves (nearly) the same system at full accuracy, so it

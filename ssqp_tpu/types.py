@@ -114,6 +114,14 @@ class Settings:
     # profiling shows the PDAS rounds are ~100% of the N=256 batch solve.
     pdas_cg_iters: int = 128
     pdas_rtol: float = 1e-10
+    # Solve PDAS round 1 (always all-free) in closed form through a one-time
+    # W ~= V^{-1} (ops/kkt.py::kkt_allfree_shared). On shared-V instance
+    # batches (the headline frontier protocol) W and the round-1 Schur factor
+    # hoist out of `vmap` and the round costs a couple of shared GEMMs
+    # instead of ~14+ cold CG iterations. Batch drivers TURN THIS OFF when V
+    # is per-instance (parallel/batch.py) — a batched (B, N, N) inverse
+    # would dwarf the saving.
+    pdas_precond: bool = True
     # Acceptance gate on the KKT solve's relative residual (CG residual and
     # the Schur/primal residuals of either path). Above it the iteration is
     # flagged a numerical error (status -1) exactly like a failed reference

@@ -75,15 +75,25 @@ def warmup(
             solve_qp_batch(Qb, settings).x.block_until_ready()
             n += 1
         if refined:
-            from ssqp_tpu.solvers.refine import solve_qp_refined
+            hi_dtype = jnp.zeros(0).dtype  # ambient default (f64 iff x64 on)
+            if jnp.dtype(hi_dtype) == jnp.dtype(dtype):
+                import warnings
 
-            import jax
+                warnings.warn(
+                    "warmup(refined=True) skipped: with jax_enable_x64 off "
+                    "the high-precision tier equals the search dtype, so "
+                    "the mixed-precision (f32 search + f64 refine) program "
+                    "would never be the one compiled; enable x64 first",
+                    stacklevel=2,
+                )
+            else:
+                from ssqp_tpu.solvers.refine import solve_qp_refined
 
-            Qhi = jax.tree.map(
-                lambda a: a.astype(jnp.zeros(0).dtype), Q
-            )  # full-precision copy in the ambient default dtype
-            solve_qp_refined(
-                Qhi, search_dtype=jnp.dtype(dtype)
-            ).x.block_until_ready()
-            n += 1
+                import jax
+
+                Qhi = jax.tree.map(lambda a: a.astype(hi_dtype), Q)
+                solve_qp_refined(
+                    Qhi, search_dtype=jnp.dtype(dtype)
+                ).x.block_until_ready()
+                n += 1
     return n

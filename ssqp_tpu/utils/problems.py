@@ -182,3 +182,82 @@ def kkt_residual(V, q, A, b, G, g, d, u, x, tol_act: float = 1e-7):
         stationarity=float(stat),
         max=float(max(feas_eq, feas_in, feas_lo, feas_hi, stat)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-protocol dataset stand-ins (bench_suite config7)
+# ---------------------------------------------------------------------------
+
+
+def ungil_like():
+    """N=14 market with the EXACT constraint structure of the reference's
+    :Ungil benchmark problem (examples/SSQPspeed.jl:41-52): budget equality,
+    a 25% cap-equality on the first two assets, two group inequality rows
+    (last four assets hold >= 0.3 jointly but <= 0.6), and mixed boxes
+    including SHORTABLE assets (d < 0 on the last four).
+
+    The reference's E/V are a real market history downloaded at runtime
+    (EfficientFrontier.EVdata(:Ungil)); with zero egress this fixture
+    substitutes a deterministic factor-model covariance at realistic monthly
+    scales (correlated, vols 3-9%). The constraint data — what exercises the
+    solver paths — is protocol-exact.
+
+    Returns (E, V, A, b, G, g, d, u) as float64 arrays.
+    """
+    N = 14
+    rng = np.random.default_rng(1414)
+    # one market factor + two style factors, monthly scale
+    beta = 1.0 + 0.35 * rng.standard_normal(N)
+    styles = 0.4 * rng.standard_normal((2, N))
+    f_vol = np.array([0.045, 0.02, 0.015])
+    B = np.vstack([beta, styles])
+    idio = rng.uniform(0.015, 0.05, N)
+    V = (B.T * f_vol**2) @ B + np.diag(idio**2)
+    V = (V + V.T) / 2
+    E = 0.005 + 0.06 * np.sqrt(np.diag(V)) + 0.01 * rng.standard_normal(N)
+
+    A = np.zeros((2, N))
+    A[0] = 1.0
+    A[1, :2] = 1.0
+    b = np.array([1.0, 0.25])
+    G = np.zeros((2, N))
+    G[0, 10:14] = -1.0  # joint holding of the last four >= 0.3
+    G[1, 10:14] = 1.0   # ... and <= 0.6
+    g = np.array([-0.3, 0.6])
+    d = np.concatenate([np.zeros(10), np.full(4, -0.1)])
+    u = np.concatenate([np.full(7, 0.2), np.full(3, 0.1), np.full(4, 0.3)])
+    return E, V, A, b, G, g, d, u
+
+
+def sp500_like(N: int = 263, T: int = 270, seed: int = 500):
+    """SP500-scale covariance stand-in (reference examples/SSQPspeed.jl:53-75
+    reads a serialized N=263 PSD-truncated sample covariance; zero egress
+    here). Construction mirrors what makes the real one hard: a SAMPLE
+    covariance of T < 2N days of factor-correlated returns, so the spectrum
+    has one dominant market eigenvalue and a long near-singular tail
+    (T - N -> 0 drives the smallest eigenvalues toward 0), then PSD-truncated
+    like the reference's. Condition number ~1e6-1e8 — nothing like the
+    well-conditioned ``H H'/N + 0.5 I`` synthetic markets elsewhere in the
+    bench suite.
+
+    Returns (E, V, u) — budget row and long-only lower bounds are the
+    reference Problem(E, V, u) defaults (types.jl:229-236).
+    """
+    rng = np.random.default_rng(seed)
+    k = 10
+    beta = 1.0 + 0.4 * rng.standard_normal(N)
+    B = np.vstack([beta, 0.35 * rng.standard_normal((k, N))])
+    f_vol = np.concatenate([[0.011], 0.004 * np.exp(-0.25 * np.arange(k))])
+    F = rng.standard_normal((T, k + 1)) * f_vol
+    idio = rng.uniform(0.006, 0.02, N)
+    R = F @ B + rng.standard_normal((T, N)) * idio
+    R = R - R.mean(axis=0)
+    V = (R.T @ R) / (T - 1)
+    # PSD truncation (the reference dataset is described as PSD-truncated):
+    # clip any roundoff-negative eigenvalues to zero, keep the tiny tail
+    w, U = np.linalg.eigh((V + V.T) / 2)
+    V = (U * np.maximum(w, 0.0)) @ U.T
+    V = (V + V.T) / 2
+    E = 0.0004 + 2.5 * np.diag(V) + 0.0002 * rng.standard_normal(N)
+    u = np.full(N, 3.0 / 32.0)
+    return E, V, u
