@@ -211,7 +211,17 @@ class Model:
         return make_qp(V, q, A, b, G=G, g=g, d=d, u=u, dtype=self.dtype)
 
     # ---- optimize ---------------------------------------------------------
-    def optimize(self) -> str:
+    def optimize(self, *, refine: bool = False, search_dtype=None) -> str:
+        """Assemble and solve; returns the termination status string.
+
+        ``refine=True`` routes a QP through the mixed-precision accuracy
+        tier (solvers/refine.py — the reference's BigFloat-tier equivalent):
+        active-set search in ``search_dtype`` (e.g. ``jnp.float32`` for TPU
+        speed; defaults to the model dtype) + iterative refinement of the
+        final KKT system against the full-precision data, fused into one
+        dispatch. LPs reject the flag (no refined LP path; their exact
+        vertex solve needs none).
+        """
         from ssqp_tpu.solvers.lp import simplex_lp
         from ssqp_tpu.solvers.ssqp import solve_qp
 
@@ -286,9 +296,17 @@ class Model:
             self.solve_time = 0.0
             return self.termination_status()
 
+        if refine and not isinstance(P, QP):
+            raise ValueError("refine=True applies to QP models only")
         t0 = time.perf_counter()
         if isinstance(P, QP):
-            self._result = solve_qp(P, settings=settings)
+            if refine:
+                from ssqp_tpu.solvers.refine import solve_qp_refined
+
+                self._result = solve_qp_refined(
+                    P, settings=settings, search_dtype=search_dtype)
+            else:
+                self._result = solve_qp(P, settings=settings)
         else:
             self._result = simplex_lp(P, settings=settings)
         self._result = Result(

@@ -60,6 +60,65 @@ def _kkt_matrix(Q: QP, free, keep, z):
     return K, rhs, AG, bg
 
 
+# ---------------------------------------------------------------------------
+# double-double (compensated) arithmetic — the beyond-f64 residual path
+# ---------------------------------------------------------------------------
+
+_SPLITTER = 134217729.0  # 2^27 + 1 (Dekker split for binary64)
+
+
+def _two_sum(a, b):
+    """Error-free sum: a + b = s + err exactly (Knuth TwoSum)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _two_prod(a, b):
+    """Error-free product via Dekker splitting (no FMA exposed in jnp):
+    a * b = p + err exactly."""
+    p = a * b
+    ac = _SPLITTER * a
+    ahi = ac - (ac - a)
+    alo = a - ahi
+    bc = _SPLITTER * b
+    bhi = bc - (bc - b)
+    blo = b - bhi
+    err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, err
+
+
+def _dd_matvec(K, xh, xl):
+    """Compensated ``K @ (xh + xl)`` as a double-double (hi, lo) pair.
+
+    Column-by-column accumulation with TwoSum/TwoProd keeps every f64
+    rounding error in the lo part — the residual this enables resolves
+    ~1e-32 relative, which is what pushes the refined solution past f64
+    (the honest stand-in for the reference's Settings{BigFloat} tier at
+    tol 2^-76, types.jl:410-417). O(n) sequential steps: used on the SMALL
+    problems where beyond-f64 certification makes sense.
+    """
+    n = K.shape[1]
+
+    def body(j, carry):
+        hi, lo = carry
+        p, e = _two_prod(K[:, j], xh[j])
+        hi, err = _two_sum(hi, p)
+        lo = lo + (err + e + K[:, j] * xl[j])
+        return hi, lo
+
+    z = jnp.zeros((K.shape[0],), K.dtype)
+    return jax.lax.fori_loop(0, n, body, (z, z))
+
+
+def _dd_add(sh, sl, e):
+    """(sh + sl) + e in double-double, renormalized."""
+    t, err = _two_sum(sh, e)
+    sl = sl + err
+    return _two_sum(t, sl)
+
+
 @partial(jax.jit, static_argnames=("settings", "iters", "with_duals"))
 @highest_matmul
 def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2,

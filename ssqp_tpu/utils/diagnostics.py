@@ -74,6 +74,13 @@ def _one_report(Q: QP, res: Result) -> KKTReport:
     stat = jnp.maximum(stat_free, jnp.maximum(viol_dn, viol_up))
     comp = (jnp.max(jnp.abs((Q.g - Q.G @ x)) * (res.S[N:] == EO))
             if J > 0 else jnp.zeros((), x.dtype))
+    if J > 0 and res.lam is not None:
+        # two-sided complementarity: an INACTIVE (OE) row carrying a
+        # spurious attached multiplier was invisible to the EO-tightness
+        # check above — the classic product |mu_j * slack_j| catches it
+        # (near-zero on legitimately-active rows where slack ~ 0)
+        mu = res.lam[M:]
+        comp = jnp.maximum(comp, jnp.max(jnp.abs(mu * (Q.g - Q.G @ x))))
     it = jnp.maximum(res.status, 0)
     return KKTReport(feas_eq, feas_in, feas_bd, stat, comp, it,
                      res.status > 0)

@@ -200,3 +200,36 @@ class TestRoundTrip:
         assert isinstance(P2, LP)
         assert m.optimize() == OPTIMAL
         np.testing.assert_allclose(m.values(), [1.0, 3.0], atol=1e-6)
+
+
+def test_model_refined_tier():
+    """Model.optimize(refine=True) routes through the mixed-precision tier
+    (VERDICT r2 item 9): result at least as accurate as the plain solve and
+    duals still attached."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    N = 16
+    H = rng.standard_normal((N, N))
+    V = H @ H.T / N + 0.4 * np.eye(N)
+    m = Model()
+    m.add_variables(N, lb=0.0, ub=0.3)
+    m.add_eq(np.ones(N), 1.0)
+    m.set_objective(quad=2.0 * V, lin=rng.standard_normal(N))
+    assert m.optimize(refine=True, search_dtype=jnp.float32) == "OPTIMAL"
+    f_ref = m.objective_value()
+    d = m.duals()
+    assert d["eq"].shape == (1,)
+    m2 = Model()
+    m2.add_variables(N, lb=0.0, ub=0.3)
+    m2.add_eq(np.ones(N), 1.0)
+    m2.set_objective(quad=2.0 * V, lin=m._lin)
+    m2.optimize()
+    assert abs(f_ref - m2.objective_value()) < 1e-7
+    # refine on an LP is rejected
+    ml = Model()
+    ml.add_variables(2, lb=0.0, ub=1.0)
+    ml.add_eq([1.0, 1.0], 1.0)
+    ml.set_objective(lin=[1.0, 2.0])
+    with pytest.raises(ValueError, match="refine"):
+        ml.optimize(refine=True)
