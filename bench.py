@@ -51,6 +51,15 @@ def main():
         import dataclasses
 
         settings = dataclasses.replace(settings, pdas_precond=False)
+    if os.environ.get("BENCH_PDAS_ITERS"):
+        import dataclasses
+
+        settings = dataclasses.replace(
+            settings, pdas_cg_iters=int(os.environ["BENCH_PDAS_ITERS"]))
+    if os.environ.get("BENCH_PDAS_PCG") == "1":
+        import dataclasses
+
+        settings = dataclasses.replace(settings, pdas_pcg=True)
     rng = np.random.default_rng(7)
     H = rng.standard_normal((N, N))
     V = H @ H.T / N + 0.5 * np.eye(N)

@@ -34,7 +34,10 @@ jax.config.update("jax_enable_x64", True)
 
 
 def _emit(metric, value, unit, baseline=None):
-    rec = {"metric": metric, "value": round(float(value), 3), "unit": unit}
+    # 6 significant digits, NOT a fixed decimal round: accuracy metrics are
+    # ~1e-9 and would flush to 0.0 under round(value, 3)
+    rec = {"metric": metric, "value": float(f"{float(value):.6g}"),
+           "unit": unit}
     if baseline:
         rec["vs_baseline"] = round(float(value) / baseline, 4)
     print(json.dumps(rec))

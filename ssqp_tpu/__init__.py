@@ -38,6 +38,7 @@ __all__ = [
     "MC_OK", "MC_INFEASIBLE", "MC_REDUNDANT", "MC_NO_CONSTRAINTS",
     "MC_DEGENERATE_BOUNDS", "MC_NOT_PSD",
     "solve_qp", "simplex_lp", "solve_lp", "box_lp", "solve_qp_refined",
+    "solve_qp_refined_dd",
     "qp_frontier_L", "qp_frontier_mu", "Model", "read_mps", "solve_mps",
     "write_mps",
 ]
@@ -61,6 +62,9 @@ def __getattr__(name):  # lazy imports to keep package import light
     if name == "solve_qp_refined":
         from ssqp_tpu.solvers.refine import solve_qp_refined
         return solve_qp_refined
+    if name == "solve_qp_refined_dd":
+        from ssqp_tpu.solvers.refine import solve_qp_refined_dd
+        return solve_qp_refined_dd
     if name == "Model":
         from ssqp_tpu.model import Model
         return Model

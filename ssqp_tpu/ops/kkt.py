@@ -185,7 +185,44 @@ def _vp_cg_vmap(axis_size, in_batched, V, fm, B, dinv, tol2, iters, X0):
     return (X, rr), (True, True)
 
 
-def cg_solve_padded(V, fm, B, iters, rtol, X0=None):
+def _vp_pcg_xla(V, fm, B, W, tol2, iters, X0):
+    """XLA while-loop PCG on ``Vp X = B`` with the shared-inverse
+    preconditioner ``M^{-1} r = f.(W @ (f.r)) + (1-f).r`` (W ~= V^{-1},
+    hoisted out of `vmap` on shared-V batches). Each iteration costs TWO
+    shared GEMMs (operator + preconditioner) vs Jacobi's one — pays off only
+    when it at least halves the iteration count (low pin fractions)."""
+    prec = lambda r: fm[:, None] * (W @ (r * fm[:, None])) \
+        + (1.0 - fm)[:, None] * r
+    r = B - _vp_apply(V, fm, X0)
+    z = prec(r)
+    p = z
+    rz = jnp.sum(r * z, axis=0)
+
+    def body(carry):
+        i, X, r, p, rz = carry
+        alive = jnp.sum(r * r, axis=0) > tol2
+        Ap = _vp_apply(V, fm, p)
+        pAp = jnp.sum(p * Ap, axis=0)
+        alpha = jnp.where(alive & (pAp > 0), rz / jnp.maximum(pAp, 1e-30), 0.0)
+        X = X + alpha[None, :] * p
+        r = r - alpha[None, :] * Ap
+        zn = prec(r)
+        rzn = jnp.sum(r * zn, axis=0)
+        beta = jnp.where(alive, rzn / jnp.maximum(rz, 1e-30), 0.0)
+        p = zn + beta[None, :] * p
+        return i + 1, X, r, p, rzn
+
+    def cond(carry):
+        i, X, r, p, rz = carry
+        return (i < iters) & jnp.any(jnp.sum(r * r, axis=0) > tol2)
+
+    _, X, r, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), X0, r, p, rz)
+    )
+    return X, jnp.sum(r * r, axis=0)
+
+
+def cg_solve_padded(V, fm, B, iters, rtol, X0=None, W=None):
     """Jacobi-preconditioned conjugate gradients on ``Vp X = B`` (multi-rhs).
 
     The padded operator's spectrum is {eigs of V_FF} ∪ {1}; with the usual
@@ -217,14 +254,19 @@ def cg_solve_padded(V, fm, B, iters, rtol, X0=None):
         # burn the whole iteration budget, so such columns restart at 0.
         live = (jnp.sum(B * B, axis=0) > 1e-30)[None, :]
         X = jnp.where(live, X0, 0.0)
-    X, rr = _vp_cg(V, fm, B, dinv, tol2,
-                   jnp.asarray(iters, jnp.int32), X)
+    if W is not None:
+        X, rr = _vp_pcg_xla(V, fm, B, W, tol2,
+                            jnp.asarray(iters, jnp.int32), X)
+    else:
+        X, rr = _vp_cg(V, fm, B, dinv, tol2,
+                       jnp.asarray(iters, jnp.int32), X)
     rel = jnp.sqrt(rr / bnorm2)
     return X, rel
 
 
 def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol,
-                 ok_rtol=1e-3, ridge=0.0, x0=None, return_sol=False):
+                 ok_rtol=1e-3, ridge=0.0, x0=None, return_sol=False,
+                 W=None):
     """CG variant of :func:`kkt_solve` — same contract, factorization-free.
 
     ``cg_iters``/``rtol`` may be traced. The (R, R) Schur system still uses a
@@ -253,14 +295,15 @@ def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol,
     bp = km * (bg - AG @ zB)
 
     if AG.shape[0] == 0:
-        sol, rel = cg_solve_padded(V, fm, cp[:, None], cg_iters, rtol, X0=x0)
+        sol, rel = cg_solve_padded(V, fm, cp[:, None], cg_iters, rtol, X0=x0,
+                                   W=W)
         w = sol[:, 0]
         alphaL = jnp.zeros((0,), dtype)
         alpha_f = -w
         relmax = jnp.max(rel, initial=0.0)
     else:
         rhs = jnp.concatenate([cp[:, None], Ap.T], axis=1)
-        sol, rel = cg_solve_padded(V, fm, rhs, cg_iters, rtol, X0=x0)
+        sol, rel = cg_solve_padded(V, fm, rhs, cg_iters, rtol, X0=x0, W=W)
         relmax = jnp.max(rel, initial=0.0)
         w, mT = sol[:, 0], sol[:, 1:]
         C = Ap @ mT

@@ -61,13 +61,22 @@ def _kkt_matrix(Q: QP, free, keep, z):
 
 
 # ---------------------------------------------------------------------------
-# double-double (compensated) arithmetic — the beyond-f64 residual path
+# double-double (compensated) arithmetic — the beyond-f64 residual path.
+#
+# NUMPY ON PURPOSE: error-free transforms are algebraically zero (TwoSum's
+# err term simplifies to 0 in exact arithmetic), and compiling them inside
+# any larger XLA program loses the compensation — measured: the identical
+# algorithm is bit-exact per-op eager / in numpy (worst row error ~9e-32 vs
+# a Fractions oracle) but drops to ~1.4e-17 under whole-graph jit, with or
+# without jax.lax.optimization_barrier around every intermediate. The dd
+# sweeps therefore run host-side; they target SMALL problems, where a few
+# numpy O(n^2) sweeps are negligible next to the device solve.
 # ---------------------------------------------------------------------------
 
 _SPLITTER = 134217729.0  # 2^27 + 1 (Dekker split for binary64)
 
 
-def _two_sum(a, b):
+def _np_two_sum(a, b):
     """Error-free sum: a + b = s + err exactly (Knuth TwoSum)."""
     s = a + b
     bb = s - a
@@ -75,9 +84,8 @@ def _two_sum(a, b):
     return s, err
 
 
-def _two_prod(a, b):
-    """Error-free product via Dekker splitting (no FMA exposed in jnp):
-    a * b = p + err exactly."""
+def _np_two_prod(a, b):
+    """Error-free product via Dekker splitting: a * b = p + err exactly."""
     p = a * b
     ac = _SPLITTER * a
     ahi = ac - (ac - a)
@@ -89,40 +97,33 @@ def _two_prod(a, b):
     return p, err
 
 
-def _dd_matvec(K, xh, xl):
-    """Compensated ``K @ (xh + xl)`` as a double-double (hi, lo) pair.
+def _np_dd_matvec(K, xh, xl):
+    """Compensated ``K @ (xh + xl)`` as a double-double (hi, lo) pair:
+    every f64 rounding error of the accumulation lands in the lo part, so
+    the residual it feeds resolves ~1e-32 relative."""
+    import numpy as np
 
-    Column-by-column accumulation with TwoSum/TwoProd keeps every f64
-    rounding error in the lo part — the residual this enables resolves
-    ~1e-32 relative, which is what pushes the refined solution past f64
-    (the honest stand-in for the reference's Settings{BigFloat} tier at
-    tol 2^-76, types.jl:410-417). O(n) sequential steps: used on the SMALL
-    problems where beyond-f64 certification makes sense.
-    """
-    n = K.shape[1]
-
-    def body(j, carry):
-        hi, lo = carry
-        p, e = _two_prod(K[:, j], xh[j])
-        hi, err = _two_sum(hi, p)
-        lo = lo + (err + e + K[:, j] * xl[j])
-        return hi, lo
-
-    z = jnp.zeros((K.shape[0],), K.dtype)
-    return jax.lax.fori_loop(0, n, body, (z, z))
+    hi = np.zeros(K.shape[0])
+    lo = np.zeros(K.shape[0])
+    for j in range(K.shape[1]):
+        a = K[:, j]
+        p, e = _np_two_prod(a, xh[j])
+        hi, err = _np_two_sum(hi, p)
+        lo = lo + (err + e + a * xl[j])
+    return hi, lo
 
 
-def _dd_add(sh, sl, e):
+def _np_dd_add(sh, sl, e):
     """(sh + sl) + e in double-double, renormalized."""
-    t, err = _two_sum(sh, e)
+    t, err = _np_two_sum(sh, e)
     sl = sl + err
-    return _two_sum(t, sl)
+    return _np_two_sum(t, sl)
 
 
 @partial(jax.jit, static_argnames=("settings", "iters", "with_duals"))
 @highest_matmul
 def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2,
-                  with_duals: bool = True) -> Result:
+                  with_duals: bool = True):
     """Refine a solved QP on its converged active set.
 
     Factors the fixed-active-set KKT matrix once in the problem dtype and
@@ -130,7 +131,8 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2,
     unchanged; only x is improved, and dual certificates (Result.lam/.gamma)
     are re-derived at the refined point (``with_duals=False`` skips that —
     used by the batched pipeline, where callers opt into duals explicitly).
-    No-op (returns ``res``) when the solve failed (status <= 0).
+    No-op (returns ``res``) when the solve failed (status <= 0). The
+    beyond-f64 continuation lives in :func:`solve_qp_refined_dd`.
     """
     N, M, J = Q.N, Q.M, Q.J
     dtype = Q.V.dtype
@@ -314,3 +316,99 @@ def solve_qp_refined(
         # invalid-model guard (host-side, like solve_qp's)
         return solve_qp(Qs, settings=s_search)
     return _search_and_refine_fused(Q, Qs, s_search, settings, iters)
+
+
+def solve_qp_refined_dd(
+    Q: QP,
+    *,
+    settings: Optional[Settings] = None,
+    search_dtype=None,
+    sweeps: int = 6,
+):
+    """Beyond-f64 tier (the reference's Settings{BigFloat} at tol 2^-76,
+    types.jl:410-417): search + f64 refinement like
+    :func:`solve_qp_refined`, then continue host-side with COMPENSATED
+    double-double residual sweeps on the final fixed-active-set KKT system.
+
+    Returns ``(Result, x_lo)``: the exact solution is approximated by
+    ``Result.x + x_lo`` (an unevaluated f64 pair, ~32 significant digits of
+    representation; accuracy is condition-limited at ~eps64^2). Evaluate
+    objectives in extended precision (fractions/mpmath) to see the
+    beyond-f64 digits — any plain f64 evaluation rounds them away.
+    Requires x64 and an f64 ``Q``; intended for small problems (the
+    error-free sweeps are host numpy — see the module-level note on why
+    they must not be compiled).
+    """
+    import numpy as np
+    from scipy.linalg import lu_factor as np_lu, lu_solve as np_lu_solve
+
+    settings = settings or Settings.for_dtype(Q.V.dtype)
+    res = solve_qp_refined(Q, settings=settings, search_dtype=search_dtype)
+    zeros = jnp.zeros((Q.N,), Q.V.dtype)
+    if int(res.status) <= 0:
+        return res, zeros
+    N, M, J = Q.N, Q.M, Q.J
+    S = np.asarray(res.S)
+    Sx = S[:N]
+    d, u = np.asarray(Q.d), np.asarray(Q.u)
+    x0 = np.asarray(res.x, np.float64)
+    z = np.where(Sx == DN, d, np.where(Sx == UP, u, x0))
+    free = Sx == IN
+    act = (np.concatenate([np.ones(M, bool), S[N:] == EO])
+           if J > 0 else np.ones(M, bool))
+    # same kept-rows decision as refine_result (purge in the work dtype)
+    AGf = (np.concatenate([np.asarray(Q.A), np.asarray(Q.G)])
+           if J > 0 else np.asarray(Q.A))
+    bgf = (np.concatenate([np.asarray(Q.b), np.asarray(Q.g)])
+           if J > 0 else np.asarray(Q.b))
+    fm = free.astype(np.float64)
+    Ap = jnp.asarray(AGf * fm[None, :])
+    bp = jnp.asarray(bgf - AGf @ (z * (1 - fm)))
+    actj = jnp.asarray(act)
+    if settings.pivot != "row":
+        from ssqp_tpu.ops.masked_gj import masked_gj_purge_col
+
+        keep, _, _ = masked_gj_purge_col(Ap, bp, actj, settings.tol)
+    elif (M + J) >= 16:
+        from ssqp_tpu.ops.masked_gj import masked_purge_qr
+
+        keep, _, _ = masked_purge_qr(Ap, bp, actj, settings.tol)
+    else:
+        keep, _, _ = masked_gj_purge(Ap, bp, actj, settings.tol)
+    # K/rhs assembly is mask-and-concatenate only (no rounding): the eager
+    # jax helper is exact, numpy just receives the bits
+    K, rhs, _, _ = _kkt_matrix(Q, jnp.asarray(free), keep, jnp.asarray(z))
+    K = np.asarray(K, np.float64)
+    rhs = np.asarray(rhs, np.float64)
+    fac = np_lu(K)
+    sh = np_lu_solve(fac, rhs)
+    for _ in range(2):  # plain f64 sweeps first
+        sh = sh + np_lu_solve(fac, rhs - K @ sh)
+    sl = np.zeros_like(sh)
+    for _ in range(max(int(sweeps), 4)):
+        mh, ml = _np_dd_matvec(K, sh, sl)
+        rh, t = _np_two_sum(rhs, -mh)
+        rl = t - ml
+        e = np_lu_solve(fac, rh + rl)
+        sh, sl = _np_dd_add(sh, sl, e)
+    x_hi, x_lo = sh[:N], sl[:N]
+    # acceptance guard, mirroring refine_result: never ship a pair that is
+    # less feasible or materially worse than the accepted refined point
+    def viol(x):
+        v = 0.0
+        if M > 0:
+            v = max(v, np.abs(np.asarray(Q.A) @ x - np.asarray(Q.b)).max())
+        if J > 0:
+            v = max(v, max(0.0, (np.asarray(Q.G) @ x - np.asarray(Q.g)).max()))
+        v = max(v, max(0.0, (d - x).max()), max(0.0, (x - u).max()))
+        return v
+    V64, q64 = np.asarray(Q.V), np.asarray(Q.q)
+    fobj = lambda x: 0.5 * x @ V64 @ x + q64 @ x
+    tol = float(settings.tol)
+    ok = (np.isfinite(x_hi).all() and np.isfinite(x_lo).all()
+          and viol(x_hi) <= max(viol(x0), tol)
+          and fobj(x_hi) <= fobj(x0) + np.sqrt(tol))
+    if not ok:
+        return res, zeros
+    return (Result(jnp.asarray(x_hi), res.S, res.status, res.lam, res.gamma),
+            jnp.asarray(x_lo))

@@ -597,7 +597,7 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
         zb = jnp.where(Sx == UP, Q.u, jnp.where(Sx == DN, Q.d, 0.0))
         res, sol = kkt_solve_cg(Q.V, Q.q, AG, bg, zb, free, keep,
                                 cg_it, settings.pdas_rtol, ridge=ridge,
-                                x0=sol, return_sol=True)
+                                x0=sol, return_sol=True, W=W_loop)
         Sx_new, Se_new, z_new = _update(Sx, Se, res)
         changed = jnp.any(Sx_new != Sx) | jnp.any(Se_new != Se)
         return it + 1, Sx_new, Se_new, z_new, sol, changed
@@ -611,6 +611,7 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
     z0 = jnp.zeros((N,), dtype)
     sol0 = jnp.zeros((N, 1 + M + J), dtype)
     it0 = jnp.asarray(0, jnp.int32)
+    W_loop = None
     if settings.pdas_precond:
         from jax.scipy.linalg import cho_solve, cholesky as _chol
 
@@ -622,6 +623,8 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
         Lw = _chol(Q.V + (100.0 * float(jnp.finfo(dtype).eps)) * scale * eye,
                    lower=True)
         W = cho_solve((Lw, True), eye)
+        if settings.pdas_pcg:
+            W_loop = W
         keep0 = (
             jnp.concatenate([jnp.ones((M,), bool), jnp.zeros((J,), bool)])
             if J > 0 else jnp.ones((M,), bool)

@@ -122,6 +122,12 @@ class Settings:
     # is per-instance (parallel/batch.py) — a batched (B, N, N) inverse
     # would dwarf the saving.
     pdas_precond: bool = True
+    # Experimental: ALSO precondition the PDAS rounds' CG with W (two shared
+    # GEMMs per iteration instead of Jacobi's one). Off by default — the
+    # iteration-count saving only beats the 2x per-iteration cost at low pin
+    # fractions (measured study in solvers/ssqp.py history); A/B via
+    # BENCH_PDAS_PCG=1.
+    pdas_pcg: bool = False
     # Acceptance gate on the KKT solve's relative residual (CG residual and
     # the Schur/primal residuals of either path). Above it the iteration is
     # flagged a numerical error (status -1) exactly like a failed reference
