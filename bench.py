@@ -91,12 +91,22 @@ def main():
     # both dev-harness artifacts a production host does not pay per batch
     # (see module docstring). The full x is still pulled (untimed) for the
     # accuracy audit below.
+    waves = int(os.environ.get("BENCH_WAVES", "0"))
+
     @jax.jit
     def chained(Qbig):
         def body(i, acc):
             F, ST = acc
             Qb = dataclasses.replace(Qb0, q=Qbig[i])
-            res = solve_qp_batch(Qb, settings, shared=shared)
+            if waves > 1:
+                # wave-parallel warm protocol: strided sub-batches warm-
+                # started from their grid neighbors — the reference's own
+                # frontier warm-start trick (SSQPspeed.jl), batched
+                from ssqp_tpu.parallel.batch import solve_qp_batch_waves
+
+                res = solve_qp_batch_waves(Qb, settings, shared, waves=waves)
+            else:
+                res = solve_qp_batch(Qb, settings, shared=shared)
             f = 0.5 * jnp.einsum("bi,ij,bj->b", res.x, Qb0.V, res.x) + jnp.sum(
                 Qb.q * res.x, axis=1
             )

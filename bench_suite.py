@@ -234,6 +234,23 @@ def config2():
           file=sys.stderr)
     _emit(f"lp_n{Nc}_batch256_cclp_lps", lps_cc, "LP/s")
 
+    # f64 rescue pass (untimed): instances the f32 criss-cross exits with
+    # -1/-max_iter are re-solved as a float64 sub-batch and scattered back
+    # (parallel/batch.py::solve_lp_batch_cclp_rescued — beyond-reference
+    # robustness; the reference returns those exits as-is, CCLP.jl:59-61)
+    from ssqp_tpu.parallel.batch import solve_lp_batch_cclp_rescued
+
+    cS, bS, gS = CBGc
+    Plast = dataclasses.replace(Pc0, c=cS[reps - 1], b=bS[reps - 1],
+                                g=gS[reps - 1])
+    rres = solve_lp_batch_cclp_rescued(Plast, s, shared=shared)
+    rst = np.asarray(rres.status)
+    print(f"config2 criss-cross rescued: {(rst > 0).sum()}/{B} solved "
+          f"(raw last batch: {(ST[reps - 1] >= 1).sum()}/{B})",
+          file=sys.stderr)
+    _emit(f"lp_n{Nc}_cclp_rescued_solved_frac", float((rst > 0).mean()),
+          "frac")
+
 
 def config3():
     """Batched frontier: 1024 QPs, N=128, shared V, varying q."""

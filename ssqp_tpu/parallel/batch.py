@@ -183,6 +183,73 @@ def solve_lp_batch_cclp_rescued(
                   None if gam is None else jnp.asarray(gam))
 
 
+@partial(jax.jit, static_argnames=("settings", "shared", "waves"))
+@highest_matmul
+def solve_qp_batch_waves(
+    Q: QP, settings: Settings, shared: tuple, waves: int = 8
+) -> Result:
+    """Wave-parallel warm solve of a q-only batch (frontier grids).
+
+    The reference's killer speed trick is warm-starting adjacent frontier
+    points from each other (SSQPspeed.jl's sweep; solveQP(Q,S,x0)); a pure
+    `vmap` batch cannot use it — every instance pays full identification.
+    This splits a SORTED q-grid into ``waves`` STRIDED sub-batches
+    (wave k holds grid points k, k+W, k+2W, ...), solves wave 0 cold
+    (PDAS + validation, vmapped), then scans the remaining waves with each
+    instance warm-started from the SAME SLOT of the previous wave — its
+    grid-adjacent neighbor. Since only q varies (the constraint set is
+    shared), the carried x stays primal-feasible for the next wave and the
+    active set drifts by at most a few flips, so waves 1..W-1 converge in
+    ~1-2 S-iterations instead of re-identifying from scratch.
+
+    Requires every leaf except ``q`` shared (asserted): warm-start validity
+    depends on it. Per-instance safety: a failed wave solve keeps the last
+    good carry for the next wave (like models/frontier.py's sweeps).
+    """
+    from ssqp_tpu.solvers.ssqp import solve_qp_auto, solve_qp_warm2
+
+    assert {"V", "A", "G", "b", "g", "d", "u"} <= set(shared), (
+        "solve_qp_batch_waves needs a q-only batch (constraints shared)")
+    settings = settings_for_shared(settings, shared)
+    B = Q.q.shape[0]
+    assert B % waves == 0
+    ax = qp_axes(Q, shared)
+    with_q = lambda qv: QP(Q.V, Q.A, Q.G, qv, Q.b, Q.g, Q.d, Q.u,
+                           Q.N, Q.M, Q.J, Q.mc)
+    # strided split: grid point g = i*waves + k -> qg[k, i]
+    qg = Q.q.reshape(B // waves, waves, -1).transpose(1, 0, 2)
+
+    r0 = jax.vmap(lambda p: solve_qp_auto(p, settings), in_axes=(ax,))(
+        with_q(qg[0]))
+    ok0 = r0.status > 0
+    carry0 = (r0.S[:, :Q.N], r0.S[:, Q.N:], r0.x)
+
+    def step(carry, qk):
+        Sx, Se, x = carry
+        rk = jax.vmap(
+            lambda p, sx, se, xx: solve_qp_warm2(p, sx, se, xx, settings),
+            in_axes=(ax, 0, 0, 0),
+        )(with_q(qk), Sx, Se, x)
+        ok = (rk.status > 0)[:, None]
+        # carry only good states forward; failed slots keep the neighbor
+        carry = (
+            jnp.where(ok, rk.S[:, :Q.N], Sx).astype(jnp.int8),
+            jnp.where(ok, rk.S[:, Q.N:], Se).astype(jnp.int8),
+            jnp.where(ok, rk.x, x),
+        )
+        return carry, rk
+
+    _, rest = jax.lax.scan(step, carry0, qg[1:])
+    # restack: wave k slot i -> grid point i*waves + k
+    def merge(a0, ar):
+        allw = jnp.concatenate([a0[None], ar], axis=0)  # (W, B/W, ...)
+        return jnp.swapaxes(allw, 0, 1).reshape((B,) + allw.shape[2:])
+
+    return Result(merge(r0.x, rest.x), merge(r0.S, rest.S),
+                  merge(r0.status, rest.status),
+                  merge(r0.lam, rest.lam), merge(r0.gamma, rest.gamma))
+
+
 def solve_qp_batch_refined(
     Q: QP,
     *,

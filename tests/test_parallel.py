@@ -88,6 +88,26 @@ class TestBatch:
             assert 0 < int(res.status[i]) <= 3
             np.testing.assert_allclose(res.x[i], g.x_opt, atol=1e-7)
 
+    def test_waves_matches_plain_batch(self):
+        # wave-parallel warm protocol (strided sub-batches warm-started from
+        # grid neighbors) must agree with the plain vmapped solve on a sorted
+        # frontier grid
+        from ssqp_tpu.parallel.batch import solve_qp_batch_waves
+
+        N = 8
+        rng = np.random.default_rng(3)
+        H = rng.standard_normal((N, N))
+        V = H @ H.T / N + 0.5 * np.eye(N)
+        mu = rng.uniform(0.0, 0.2, N)
+        Q = make_qp(V, mu)
+        lams = jnp.linspace(0.0, 2.0, 32)
+        Qb, shared = frontier_batch(Q, lams)
+        ref = solve_qp_batch(Qb, SETTINGS, shared=shared)
+        res = solve_qp_batch_waves(Qb, SETTINGS, shared, waves=4)
+        assert np.all(np.asarray(res.status) > 0)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                                   atol=1e-7)
+
     def test_lp_batch(self):
         # min -x1-2x2 s.t. x1+x2<=4, x1<=3, x2<=3 ; optimum (1,3) f=-7... check:
         # vertices: (3,1) f=-5; (1,3) f=-7; (3,3) infeasible (sum 6>4)
