@@ -38,7 +38,7 @@ __all__ = [
     "MC_OK", "MC_INFEASIBLE", "MC_REDUNDANT", "MC_NO_CONSTRAINTS",
     "MC_DEGENERATE_BOUNDS", "MC_NOT_PSD",
     "solve_qp", "simplex_lp", "solve_lp", "box_lp", "solve_qp_refined",
-    "solve_qp_refined_dd",
+    "solve_qp_refined_dd", "solve_qp_diff",
     "qp_frontier_L", "qp_frontier_mu", "Model", "read_mps", "solve_mps",
     "write_mps",
 ]
@@ -65,6 +65,9 @@ def __getattr__(name):  # lazy imports to keep package import light
     if name == "solve_qp_refined_dd":
         from ssqp_tpu.solvers.refine import solve_qp_refined_dd
         return solve_qp_refined_dd
+    if name == "solve_qp_diff":
+        from ssqp_tpu.solvers.diff import solve_qp_diff
+        return solve_qp_diff
     if name == "Model":
         from ssqp_tpu.model import Model
         return Model
