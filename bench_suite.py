@@ -305,6 +305,34 @@ def config3():
     print(f"config3 solved {solved}/{reps * batch}", file=sys.stderr)
     _emit("frontier_n128_batch1024_qps", qps, "QP/s")
 
+    # wave-parallel warm column (grid-neighbor warm starts — the headline
+    # protocol, parallel/batch.py::solve_qp_batch_waves) on the same grids
+    from ssqp_tpu.parallel.batch import solve_qp_batch_waves
+
+    @jax.jit
+    def chained_w(Qbig):
+        def body(i, acc):
+            F, ST = acc
+            Qb = dataclasses.replace(Qb0, q=Qbig[i])
+            r = solve_qp_batch_waves(Qb, s, shared, waves=8)
+            f = 0.5 * jnp.einsum("bi,ij,bj->b", r.x, Qb0.V, r.x) + jnp.sum(
+                Qb.q * r.x, axis=1)
+            return (F.at[i].set(f), ST.at[i].set(r.status))
+        return jax.lax.fori_loop(
+            0, reps, body,
+            (jnp.zeros((reps, batch), jnp.float32),
+             jnp.zeros((reps, batch), jnp.int32)))
+
+    np.asarray(chained_w(warm)[1])
+    t0 = time.perf_counter()
+    F, ST = chained_w(Qbig)
+    ST = np.asarray(ST)
+    _ = np.asarray(F)
+    qps_w = batch / ((time.perf_counter() - t0) / reps)
+    print(f"config3 waves solved {int((ST > 0).sum())}/{reps * batch}",
+          file=sys.stderr)
+    _emit("frontier_n128_batch1024_waves_qps", qps_w, "QP/s")
+
 
 def config4():
     """N=512 dense QP with general inequalities, mixed-precision pipeline:
@@ -391,7 +419,9 @@ def config5():
         def body(i, acc):
             F, ST, SOLVED = acc
             Qs = dataclasses.replace(Qs0, q=Qbig[i])
-            r, stats = solve_qp_sharded(Qs, s, mesh, shared=shared)
+            # waves=8: per-shard grid-neighbor warm starts (the headline
+            # protocol; local shard of a sorted grid stays sorted)
+            r, stats = solve_qp_sharded(Qs, s, mesh, shared=shared, waves=8)
             f = 0.5 * jnp.einsum("bi,ij,bj->b", r.x, Qs0.V, r.x) + jnp.sum(
                 Qs.q * r.x, axis=1)
             return (F.at[i].set(f), ST.at[i].set(r.status),

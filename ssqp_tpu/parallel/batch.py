@@ -206,7 +206,11 @@ def solve_qp_batch_waves(
     depends on it. Per-instance safety: a failed wave solve keeps the last
     good carry for the next wave (like models/frontier.py's sweeps).
     """
-    from ssqp_tpu.solvers.ssqp import solve_qp_auto, solve_qp_warm2
+    from ssqp_tpu.solvers.ssqp import (
+        _attach_duals,
+        solve_qp_auto_core,
+        solve_qp_warm2,
+    )
 
     assert {"V", "A", "G", "b", "g", "d", "u"} <= set(shared), (
         "solve_qp_batch_waves needs a q-only batch (constraints shared)")
@@ -219,15 +223,19 @@ def solve_qp_batch_waves(
     # strided split: grid point g = i*waves + k -> qg[k, i]
     qg = Q.q.reshape(B // waves, waves, -1).transpose(1, 0, 2)
 
-    r0 = jax.vmap(lambda p: solve_qp_auto(p, settings), in_axes=(ax,))(
+    # Dual attachment (+ its polish re-solve) is DEFERRED to one batched
+    # pass over the merged result: per-wave attachment would pay the
+    # sequential CG latency of _attach_duals `waves` times instead of once
+    # (the attach work is per-instance independent, so moving it is exact).
+    r0 = jax.vmap(lambda p: solve_qp_auto_core(p, settings), in_axes=(ax,))(
         with_q(qg[0]))
-    ok0 = r0.status > 0
     carry0 = (r0.S[:, :Q.N], r0.S[:, Q.N:], r0.x)
 
     def step(carry, qk):
         Sx, Se, x = carry
         rk = jax.vmap(
-            lambda p, sx, se, xx: solve_qp_warm2(p, sx, se, xx, settings),
+            lambda p, sx, se, xx: solve_qp_warm2(p, sx, se, xx, settings,
+                                                 with_duals=False),
             in_axes=(ax, 0, 0, 0),
         )(with_q(qk), Sx, Se, x)
         ok = (rk.status > 0)[:, None]
@@ -245,9 +253,10 @@ def solve_qp_batch_waves(
         allw = jnp.concatenate([a0[None], ar], axis=0)  # (W, B/W, ...)
         return jnp.swapaxes(allw, 0, 1).reshape((B,) + allw.shape[2:])
 
-    return Result(merge(r0.x, rest.x), merge(r0.S, rest.S),
-                  merge(r0.status, rest.status),
-                  merge(r0.lam, rest.lam), merge(r0.gamma, rest.gamma))
+    merged = Result(merge(r0.x, rest.x), merge(r0.S, rest.S),
+                    merge(r0.status, rest.status))
+    return jax.vmap(lambda p, r: _attach_duals(p, r, settings),
+                    in_axes=(ax, 0))(Q, merged)
 
 
 def solve_qp_batch_refined(

@@ -42,7 +42,8 @@ def _spec_tree(Q: QP, shared: tuple, axis: str) -> QP:
               sp["d"], sp["u"], Q.N, Q.M, Q.J, Q.mc)
 
 
-@partial(jax.jit, static_argnames=("settings", "shared", "mesh", "axis"))
+@partial(jax.jit, static_argnames=("settings", "shared", "mesh", "axis",
+                                   "waves"))
 @highest_matmul
 def solve_qp_sharded(
     Q: QP,
@@ -50,6 +51,7 @@ def solve_qp_sharded(
     mesh: Mesh,
     shared: tuple = (),
     axis="i",
+    waves: int = 0,
 ):
     """Solve a QP batch sharded over a device mesh.
 
@@ -64,9 +66,21 @@ def solve_qp_sharded(
     sharded along the batch axis and ``stats`` is a replicated dict with
     mesh-wide aggregates: ``solved`` (#status>0, psum), ``iters_max`` (pmax),
     ``infeasible`` (#status==0, psum).
+
+    ``waves > 1`` runs the wave-parallel warm protocol on each device's
+    local shard (grid-neighbor warm starts, see
+    parallel/batch.py::solve_qp_batch_waves — measured ~1.35x on the N=256
+    frontier headline): requires a q-only batch (every other leaf shared)
+    sorted so adjacent instances are related, and a local shard size
+    divisible by ``waves``. Sharding is contiguous along the batch axis, so
+    a sorted grid stays sorted within each shard.
     """
     from ssqp_tpu.solvers.ssqp import solve_qp_auto
-    from ssqp_tpu.parallel.batch import qp_axes, settings_for_shared
+    from ssqp_tpu.parallel.batch import (
+        qp_axes,
+        settings_for_shared,
+        solve_qp_batch_waves,
+    )
 
     settings = settings_for_shared(settings, shared)
     ax = qp_axes(Q, shared)
@@ -77,7 +91,11 @@ def solve_qp_sharded(
     )
 
     def local(Qs: QP):
-        res = jax.vmap(lambda p: solve_qp_auto(p, settings), in_axes=(ax,))(Qs)
+        if waves > 1:
+            res = solve_qp_batch_waves(Qs, settings, shared, waves=waves)
+        else:
+            res = jax.vmap(lambda p: solve_qp_auto(p, settings),
+                           in_axes=(ax,))(Qs)
         solved = jax.lax.psum(jnp.sum(res.status > 0), axis)
         infeas = jax.lax.psum(jnp.sum(res.status == 0), axis)
         iters = jax.lax.pmax(jnp.max(jnp.abs(res.status)), axis)

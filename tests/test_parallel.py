@@ -107,6 +107,12 @@ class TestBatch:
         assert np.all(np.asarray(res.status) > 0)
         np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                    atol=1e-7)
+        # dual certificates from the deferred one-shot attach must agree
+        # with the per-instance attach of the plain vmapped path
+        np.testing.assert_allclose(np.asarray(res.lam), np.asarray(ref.lam),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.gamma),
+                                   np.asarray(ref.gamma), atol=1e-6)
 
     def test_lp_batch(self):
         # min -x1-2x2 s.t. x1+x2<=4, x1<=3, x2<=3 ; optimum (1,3) f=-7... check:
@@ -190,6 +196,26 @@ class TestSharded:
         res, stats = solve_qp_sharded(Qs, SETTINGS, mesh, shared=shared)
         assert int(stats["solved"]) == 32
         np.testing.assert_allclose(np.asarray(res.x).sum(axis=1), 1.0, atol=1e-8)
+
+    def test_sharded_waves_matches_plain(self):
+        # wave-parallel warm protocol inside each shard (local grid stays
+        # sorted under contiguous batch sharding) must agree with the plain
+        # sharded solve
+        mesh = make_mesh(8)
+        N = 8
+        rng = np.random.default_rng(4)
+        H = rng.standard_normal((N, N))
+        V = H @ H.T / N + 0.5 * np.eye(N)
+        mu = rng.uniform(0.0, 0.2, N)
+        Q = make_qp(V, mu)
+        Qb, shared = frontier_batch(Q, jnp.linspace(0.0, 2.0, 64))
+        Qs = shard_batch(Qb, mesh, shared=shared)
+        ref, _ = solve_qp_sharded(Qs, SETTINGS, mesh, shared=shared)
+        res, stats = solve_qp_sharded(Qs, SETTINGS, mesh, shared=shared,
+                                      waves=4)
+        assert int(stats["solved"]) == 64
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                                   atol=1e-7)
 
 
 class TestSharded2D:
