@@ -114,13 +114,22 @@ def main():
     waves = int(os.environ.get("BENCH_WAVES", "8"))
     if batch % max(waves, 1):
         waves = 0
+    # BENCH_C2F=<coarse> switches to the coarse-to-fine variant (one warm
+    # pass from nearest coarse anchor instead of sequential waves)
+    c2f = int(os.environ.get("BENCH_C2F", "0"))
+    if batch % max(c2f, 1):
+        c2f = 0
 
     @jax.jit
     def chained(Qbig):
         def body(i, acc):
             F, ST = acc
             Qb = dataclasses.replace(Qb0, q=Qbig[i])
-            if waves > 1:
+            if c2f > 1:
+                from ssqp_tpu.parallel.batch import solve_qp_batch_c2f
+
+                res = solve_qp_batch_c2f(Qb, settings, shared, coarse=c2f)
+            elif waves > 1:
                 # wave-parallel warm protocol: strided sub-batches warm-
                 # started from their grid neighbors — the reference's own
                 # frontier warm-start trick (SSQPspeed.jl), batched
@@ -160,10 +169,25 @@ def main():
             t = tt
     qps = batch / t
 
-    # untimed re-solve of the last grid for the accuracy audit
-    res = solve_qp_batch(
-        dataclasses.replace(Qb0, q=Qbig[reps - 1]), settings, shared=shared
-    )
+    # untimed re-solve of the last grid for the accuracy audit — through the
+    # SAME code path the timed region measured (waves when waves > 1), so the
+    # accuracy claim certifies the protocol that produced the throughput
+    if c2f > 1:
+        from ssqp_tpu.parallel.batch import solve_qp_batch_c2f
+
+        res = solve_qp_batch_c2f(
+            dataclasses.replace(Qb0, q=Qbig[reps - 1]), settings, shared,
+            coarse=c2f)
+    elif waves > 1:
+        from ssqp_tpu.parallel.batch import solve_qp_batch_waves
+
+        res = solve_qp_batch_waves(
+            dataclasses.replace(Qb0, q=Qbig[reps - 1]), settings, shared,
+            waves=waves)
+    else:
+        res = solve_qp_batch(
+            dataclasses.replace(Qb0, q=Qbig[reps - 1]), settings,
+            shared=shared)
 
     # Accuracy audit: SSQPspeed-style quantile protocol (reference
     # examples/SSQPspeed.jl:93-163) — ||x-z||_inf and objective gap vs a
@@ -210,7 +234,8 @@ def main():
     ok_st = ST[ST > 0]  # status encodes the S-loop iteration count
     print(
         f"solved {solved}/{reps * batch} (+warmup {ok0}/{batch}) N={N} "
-        f"mean {t:.4f}s/batch ({qps:.1f}/s), S-iterations med "
+        f"best-of-{trials} {t:.4f}s/batch ({qps:.1f}/s), "
+        f"last-trial S-iterations med "
         f"{np.median(ok_st) if ok_st.size else -1:.0f} max "
         f"{ok_st.max() if ok_st.size else -1}, "
         f"max objective gap vs f64 = {gap:.2e}",

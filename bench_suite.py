@@ -279,58 +279,45 @@ def config3():
     ]))
     np.asarray(Qbig.sum())
 
-    @jax.jit
-    def chained(Qbig):
-        def body(i, acc):
-            F, ST = acc
-            Qb = dataclasses.replace(Qb0, q=Qbig[i])
-            r = solve_qp_batch(Qb, s, shared=shared)
-            f = 0.5 * jnp.einsum("bi,ij,bj->b", r.x, Qb0.V, r.x) + jnp.sum(
-                Qb.q * r.x, axis=1)
-            return (F.at[i].set(f), ST.at[i].set(r.status))
-        return jax.lax.fori_loop(
-            0, reps, body,
-            (jnp.zeros((reps, batch), jnp.float32),
-             jnp.zeros((reps, batch), jnp.int32)))
+    def timed_chained(solve, label):
+        """Chained fori timer over the SAME grids for a given batch solve
+        (one definition — both columns must measure identical harness)."""
+        @jax.jit
+        def chained(Qbig):
+            def body(i, acc):
+                F, ST = acc
+                Qb = dataclasses.replace(Qb0, q=Qbig[i])
+                r = solve(Qb)
+                f = 0.5 * jnp.einsum("bi,ij,bj->b", r.x, Qb0.V, r.x) + jnp.sum(
+                    Qb.q * r.x, axis=1)
+                return (F.at[i].set(f), ST.at[i].set(r.status))
+            return jax.lax.fori_loop(
+                0, reps, body,
+                (jnp.zeros((reps, batch), jnp.float32),
+                 jnp.zeros((reps, batch), jnp.int32)))
+
+        np.asarray(chained(warm)[1])
+        t0 = time.perf_counter()
+        F, ST = chained(Qbig)
+        ST = np.asarray(ST)
+        _ = np.asarray(F)
+        qps = batch / ((time.perf_counter() - t0) / reps)
+        print(f"config3 {label} solved {int((ST > 0).sum())}/{reps * batch}",
+              file=sys.stderr)
+        return qps
 
     warm = jax.device_put(jnp.broadcast_to(Qb0.q, (reps,) + Qb0.q.shape))
     np.asarray(warm.sum())
-    np.asarray(chained(warm)[1])
-    t0 = time.perf_counter()
-    F, ST = chained(Qbig)
-    ST = np.asarray(ST)
-    _ = np.asarray(F)
-    qps = batch / ((time.perf_counter() - t0) / reps)
-    solved = int((ST > 0).sum())
-    print(f"config3 solved {solved}/{reps * batch}", file=sys.stderr)
+    qps = timed_chained(lambda Qb: solve_qp_batch(Qb, s, shared=shared),
+                        "plain")
     _emit("frontier_n128_batch1024_qps", qps, "QP/s")
 
     # wave-parallel warm column (grid-neighbor warm starts — the headline
     # protocol, parallel/batch.py::solve_qp_batch_waves) on the same grids
     from ssqp_tpu.parallel.batch import solve_qp_batch_waves
 
-    @jax.jit
-    def chained_w(Qbig):
-        def body(i, acc):
-            F, ST = acc
-            Qb = dataclasses.replace(Qb0, q=Qbig[i])
-            r = solve_qp_batch_waves(Qb, s, shared, waves=8)
-            f = 0.5 * jnp.einsum("bi,ij,bj->b", r.x, Qb0.V, r.x) + jnp.sum(
-                Qb.q * r.x, axis=1)
-            return (F.at[i].set(f), ST.at[i].set(r.status))
-        return jax.lax.fori_loop(
-            0, reps, body,
-            (jnp.zeros((reps, batch), jnp.float32),
-             jnp.zeros((reps, batch), jnp.int32)))
-
-    np.asarray(chained_w(warm)[1])
-    t0 = time.perf_counter()
-    F, ST = chained_w(Qbig)
-    ST = np.asarray(ST)
-    _ = np.asarray(F)
-    qps_w = batch / ((time.perf_counter() - t0) / reps)
-    print(f"config3 waves solved {int((ST > 0).sum())}/{reps * batch}",
-          file=sys.stderr)
+    qps_w = timed_chained(
+        lambda Qb: solve_qp_batch_waves(Qb, s, shared, waves=8), "waves")
     _emit("frontier_n128_batch1024_waves_qps", qps_w, "QP/s")
 
 

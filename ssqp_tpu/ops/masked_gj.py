@@ -233,3 +233,20 @@ def masked_independent_cols(
     _, keep_perm = _gj_sweep(At * cm[:, None], tol, A.shape[0])
     keep = jnp.zeros((C,), bool).at[order].set(keep_perm)
     return keep & col_mask
+
+
+def select_purge(pivot: str, R: int):
+    """The redundancy-purge flavor shared by every engine that rebuilds a
+    working set (S-loop, refine sweeps, diff re-solve): ``Settings.pivot``
+    chooses the reference's row- vs column-pivoting semantics
+    (getRowsGJr/getRowsGJ, utils.jl:2-86); the row flavor switches to the
+    one-shot QR twin at R >= 16 working rows (identical greedy keep
+    semantics, far lower sequential latency — the round-1 latency fix).
+
+    Keep this the ONLY place the dispatch rule lives: the diff layer's
+    fixed-active-set re-solve must purge with exactly the S-loop's rule or
+    its multipliers silently desynchronize from the solver's.
+    """
+    if pivot != "row":
+        return masked_gj_purge_col
+    return masked_purge_qr if R >= 16 else masked_gj_purge

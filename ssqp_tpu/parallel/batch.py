@@ -158,9 +158,17 @@ def solve_lp_batch_cclp_rescued(
         a = jnp.asarray(np.asarray(arr), jnp.float64)
         return a if f in shared else a[sel]
 
-    sub = LP(*(pick(f, getattr(P, f)) for f in
-               ("c", "A", "b", "G", "g", "d", "u")), P.N, P.M, P.J, P.mc)
-    r64 = solve_lp_batch_cclp(sub, Settings(), shared=shared)
+    # f64 batched LU is unsupported on TPU: run the retry on the CPU backend
+    import contextlib
+
+    cpu_ctx = (
+        contextlib.nullcontext() if jax.default_backend() == "cpu"
+        else jax.default_device(jax.devices("cpu")[0])
+    )
+    with cpu_ctx:
+        sub = LP(*(pick(f, getattr(P, f)) for f in
+                   ("c", "A", "b", "G", "g", "d", "u")), P.N, P.M, P.J, P.mc)
+        r64 = solve_lp_batch_cclp(sub, Settings(), shared=shared)
     ok64 = np.asarray(r64.status)[: len(idx)] > 0
     fix = idx[ok64]
     if len(fix) == 0:
@@ -255,8 +263,95 @@ def solve_qp_batch_waves(
 
     merged = Result(merge(r0.x, rest.x), merge(r0.S, rest.S),
                     merge(r0.status, rest.status))
+    # a failed wave-0 slot taints every downstream point it warm-started
+    bad0 = r0.status <= 0  # (B/waves,)
+    force = merge(bad0, jnp.broadcast_to(bad0[None, :],
+                                         (waves - 1, B // waves)))
+    return _rescue_and_attach(Q, ax, merged, settings, force=force)
+
+
+def _rescue_and_attach(Q: QP, ax, merged: Result, settings: Settings,
+                       force=None) -> Result:
+    """Shared tail of the grid warm protocols (waves / coarse-to-fine).
+
+    Cold rescue of failed slots: a cold-stage failure would otherwise
+    cascade through every point it warm-started. Failed instances re-solve
+    cold through Phase-1 + warm2; solved ones enter every loop pre-done, so
+    the pass costs ~nothing when the batch fully converged (the same skip
+    machinery as solve_qp_auto_core's guess acceptance). ``force`` marks
+    instances that must re-solve even if their warm exit claims success —
+    a warm start seeded from a FAILED cold anchor may be infeasible, and
+    the S-loop's convergence contract assumes a feasible start. Then one
+    batched dual attach over the final points (deferring it here rather
+    than per-stage avoids paying _attach_duals' sequential CG latency per
+    wave).
+    """
+    from ssqp_tpu.solvers.phase1 import init_qp_traced
+    from ssqp_tpu.solvers.ssqp import _attach_duals, solve_qp_warm2
+
+    need = merged.status <= 0
+    if force is not None:
+        need = need | force
+
+    def rescue_one(p, nd):
+        x0, Sx0, Se0, st1 = init_qp_traced(p, settings, skip=~nd)
+        pre = jnp.where(nd, st1, jnp.asarray(-9, jnp.int32))
+        return solve_qp_warm2(p, Sx0, Se0, x0, settings, pre_status=pre,
+                              with_duals=False)
+
+    rr = jax.vmap(rescue_one, in_axes=(ax, 0))(Q, need)
+    fix = need & (rr.status > 0)
+    merged = Result(
+        jnp.where(fix[:, None], rr.x, merged.x),
+        jnp.where(fix[:, None], rr.S, merged.S).astype(merged.S.dtype),
+        jnp.where(fix, rr.status, merged.status).astype(jnp.int32),
+    )
     return jax.vmap(lambda p, r: _attach_duals(p, r, settings),
                     in_axes=(ax, 0))(Q, merged)
+
+
+@partial(jax.jit, static_argnames=("settings", "shared", "coarse"))
+@highest_matmul
+def solve_qp_batch_c2f(
+    Q: QP, settings: Settings, shared: tuple, coarse: int = 8
+) -> Result:
+    """Coarse-to-fine warm solve of a q-only sorted grid.
+
+    Two stages instead of :func:`solve_qp_batch_waves`' W-1 sequential
+    waves: the coarse subgrid (every ``coarse``-th point) solves cold, then
+    EVERY grid point warm-starts from its nearest coarse point in ONE
+    batched warm pass. Wall time = cold(B/coarse) + one warm2(B) — the warm
+    pass may take a few more S-iterations than a single wave step (warm
+    distance up to coarse/2 grid steps instead of 1), but it replaces
+    (W-1) sequential wave launches whose ~3.5 ms apiece is latency, not
+    work. Same contract as waves: q-only batch (asserted), sorted grid,
+    failed slots cold-rescued.
+    """
+    from ssqp_tpu.solvers.ssqp import solve_qp_auto_core, solve_qp_warm2
+
+    assert {"V", "A", "G", "b", "g", "d", "u"} <= set(shared), (
+        "solve_qp_batch_c2f needs a q-only batch (constraints shared)")
+    settings = settings_for_shared(settings, shared)
+    B = Q.q.shape[0]
+    assert B % coarse == 0
+    C = B // coarse
+    ax = qp_axes(Q, shared)
+    with_q = lambda qv: QP(Q.V, Q.A, Q.G, qv, Q.b, Q.g, Q.d, Q.u,
+                           Q.N, Q.M, Q.J, Q.mc)
+
+    rc = jax.vmap(lambda p: solve_qp_auto_core(p, settings), in_axes=(ax,))(
+        with_q(Q.q[::coarse]))
+    # nearest coarse anchor per grid point (round i/coarse, clipped)
+    near = jnp.clip(
+        jnp.round(jnp.arange(B) / coarse).astype(jnp.int32), 0, C - 1)
+    rw = jax.vmap(
+        lambda p, sx, se, xx: solve_qp_warm2(p, sx, se, xx, settings,
+                                             with_duals=False),
+        in_axes=(ax, 0, 0, 0),
+    )(with_q(Q.q), rc.S[near, : Q.N], rc.S[near, Q.N:], rc.x[near])
+    # points warm-started from a failed coarse anchor must re-solve cold
+    return _rescue_and_attach(Q, ax, rw, settings,
+                              force=(rc.status <= 0)[near])
 
 
 def solve_qp_batch_refined(

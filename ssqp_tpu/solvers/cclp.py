@@ -280,13 +280,22 @@ def rescue_cclp_f64(P: LP, res: Result, settings: Settings) -> Result:
         return res  # x64 disabled: f64 arrays silently truncate to f32
     import dataclasses
 
-    P64 = LP(*(jnp.asarray(np.asarray(leaf), jnp.float64)
-               for leaf in (P.c, P.A, P.b, P.G, P.g, P.d, P.u)),
-             P.N, P.M, P.J, P.mc)
-    # f64-tier tolerances, caller's structural tuning (budget, pivot rule)
-    s64 = dataclasses.replace(Settings(), max_iter=settings.max_iter,
-                              pivot=settings.pivot, rule=settings.rule)
-    r64 = solve_lp_traced(P64, s64)
+    # f64 linear algebra (batched LU) is unsupported/emulated on TPU — the
+    # retry runs on the host CPU backend when the default device is not CPU
+    import contextlib
+
+    cpu_ctx = (
+        contextlib.nullcontext() if jax.default_backend() == "cpu"
+        else jax.default_device(jax.devices("cpu")[0])
+    )
+    with cpu_ctx:
+        P64 = LP(*(jnp.asarray(np.asarray(leaf), jnp.float64)
+                   for leaf in (P.c, P.A, P.b, P.G, P.g, P.d, P.u)),
+                 P.N, P.M, P.J, P.mc)
+        # f64-tier tolerances, caller's structural tuning (budget, pivot rule)
+        s64 = dataclasses.replace(Settings(), max_iter=settings.max_iter,
+                                  pivot=settings.pivot, rule=settings.rule)
+        r64 = solve_lp_traced(P64, s64)
     if int(r64.status) <= 0:
         return res  # retry failed too: keep the original exit
     lam = None if r64.lam is None else r64.lam.astype(dtype)

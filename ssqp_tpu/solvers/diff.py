@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import cho_solve, cholesky as _chol
 
-from ssqp_tpu.types import DN, EO, IN, UP, QP, Result, Settings
+from ssqp_tpu.types import DN, EO, IN, OE, UP, QP, Result, Settings
 from ssqp_tpu.utils.precision import highest_matmul
 
 
@@ -72,8 +72,12 @@ def kkt_resolve(Q: QP, Sx, Se, settings: Settings):
     fm = free.astype(dtype)
     bm = 1.0 - fm
     # pinned coordinates take their bound value: d on DN, u on UP — this is
-    # where du-gradients enter the solution map
+    # where du-gradients enter the solution map. A status pinned at an
+    # infinite bound cannot occur at a valid optimum; guard it anyway so a
+    # corrupt status vector cannot poison gradients with inf (see
+    # solve_qp_diff's where-grad note).
     zB = jnp.where(Sx == DN, Q.d, jnp.where(Sx == UP, Q.u, 0.0)) * bm
+    zB = jnp.where(jnp.isfinite(zB), zB, 0.0)
 
     c_full = Q.V @ zB + Q.q
     cp = fm * c_full
@@ -96,17 +100,11 @@ def kkt_resolve(Q: QP, Sx, Se, settings: Settings):
     bE = bg - AG @ zB
 
     # discrete keep-mask: same purge flavor selection as the S-loop
-    # (solvers/ssqp.py) on non-differentiating copies
-    from ssqp_tpu.ops.masked_gj import (
-        masked_gj_purge,
-        masked_gj_purge_col,
-        masked_purge_qr,
-    )
+    # (shared dispatch, ops/masked_gj.py::select_purge) on
+    # non-differentiating copies
+    from ssqp_tpu.ops.masked_gj import select_purge
 
-    if settings.pivot == "row" and R >= 16:
-        purge = masked_purge_qr
-    else:
-        purge = masked_gj_purge if settings.pivot == "row" else masked_gj_purge_col
+    purge = select_purge(settings.pivot, R)
     sg = jax.lax.stop_gradient
     keep, _, _ = purge(sg(AG * fm[None, :]), sg(bE), act, settings.tol)
     keep = jax.lax.stop_gradient(keep)
@@ -156,13 +154,24 @@ def solve_qp_diff(
     and the envelope theorem falls out: ``jax.grad`` of the optimal VALUE
     w.r.t. ``q`` equals ``x*`` (tests/test_diff.py pins both).
     """
-    from ssqp_tpu.solvers.ssqp import solve_qp_auto
+    from ssqp_tpu.solvers.ssqp import solve_qp, solve_qp_auto
 
     if settings is None:
         settings = Settings.for_dtype(Q.V.dtype)
+    if Q.mc <= 0:  # invalid model — same contract as solve_qp (SSQP.jl:226)
+        return solve_qp(Q, settings=settings, settings_lp=settings_lp)
     res = solve_qp_auto(jax.lax.stop_gradient(Q), settings, settings_lp)
     ok = res.status > 0
-    x, lam, gamma = kkt_resolve(Q, res.S[: Q.N], res.S[Q.N :], settings)
+    # Failed instances must not poison gradients: jnp.where's reverse rule
+    # multiplies the ZERO cotangent of the untaken branch by that branch's
+    # derivative, so a NaN/inf from re-solving a garbage active set would
+    # still propagate (0 * nan = nan). Sanitize the statuses of failed
+    # instances to the benign all-free set (finite for PD V) before the
+    # re-solve; their outputs are then discarded by the where below and
+    # their gradient contribution is a true zero.
+    Sx = jnp.where(ok, res.S[: Q.N], IN).astype(res.S.dtype)
+    Se = jnp.where(ok, res.S[Q.N :], OE).astype(res.S.dtype)
+    x, lam, gamma = kkt_resolve(Q, Sx, Se, settings)
     x = jnp.where(ok, x, res.x)
     if res.lam is not None:
         lam = jnp.where(ok, lam, res.lam)

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import lu_factor, lu_solve
 
-from ssqp_tpu.ops.masked_gj import masked_gj_purge
 from ssqp_tpu.types import DN, EO, IN, QP, Result, Settings, UP
 from ssqp_tpu.utils.precision import highest_matmul
 
@@ -168,16 +167,9 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2,
     bp = bE.astype(fac_dtype)
     tol_p = (max(float(settings.tol), 2.0**-16)
              if jnp.dtype(fac_dtype) == jnp.float32 else settings.tol)
-    if settings.pivot != "row":
-        from ssqp_tpu.ops.masked_gj import masked_gj_purge_col
+    from ssqp_tpu.ops.masked_gj import select_purge
 
-        keep, _, _ = masked_gj_purge_col(Ap, bp, act, tol_p)
-    elif (M + J) >= 16:
-        from ssqp_tpu.ops.masked_gj import masked_purge_qr
-
-        keep, _, _ = masked_purge_qr(Ap, bp, act, tol_p)
-    else:
-        keep, _, _ = masked_gj_purge(Ap, bp, act, tol_p)
+    keep, _, _ = select_purge(settings.pivot, M + J)(Ap, bp, act, tol_p)
 
     K, rhs, AG, bg = _kkt_matrix(Q, free, keep, z)
     Kf = K.astype(fac_dtype)
@@ -365,16 +357,9 @@ def solve_qp_refined_dd(
     Ap = jnp.asarray(AGf * fm[None, :])
     bp = jnp.asarray(bgf - AGf @ (z * (1 - fm)))
     actj = jnp.asarray(act)
-    if settings.pivot != "row":
-        from ssqp_tpu.ops.masked_gj import masked_gj_purge_col
+    from ssqp_tpu.ops.masked_gj import select_purge
 
-        keep, _, _ = masked_gj_purge_col(Ap, bp, actj, settings.tol)
-    elif (M + J) >= 16:
-        from ssqp_tpu.ops.masked_gj import masked_purge_qr
-
-        keep, _, _ = masked_purge_qr(Ap, bp, actj, settings.tol)
-    else:
-        keep, _, _ = masked_gj_purge(Ap, bp, actj, settings.tol)
+    keep, _, _ = select_purge(settings.pivot, M + J)(Ap, bp, actj, settings.tol)
     # K/rhs assembly is mask-and-concatenate only (no rounding): the eager
     # jax helper is exact, numpy just receives the bits
     K, rhs, _, _ = _kkt_matrix(Q, jnp.asarray(free), keep, jnp.asarray(z))

@@ -33,7 +33,6 @@ from ssqp_tpu.ops.kkt import (
     kkt_allfree_shared, kkt_solve, kkt_solve_cg,
     recover_dropped_multipliers, recover_duals,
 )
-from ssqp_tpu.ops.masked_gj import masked_gj_purge, masked_gj_purge_col
 from ssqp_tpu.types import DN, EO, IN, OE, QP, UP, Result, Settings
 from ssqp_tpu.utils.precision import highest_matmul
 
@@ -136,15 +135,11 @@ def solve_qp_loop(
         if R > 0:
             # Settings.pivot selects the redundancy-purge flavor
             # (reference getRowsGJr row pivoting vs getRowsGJ column
-            # pivoting, utils.jl:2-86). At many working rows the GJ sweep's
-            # R sequential steps dominate single-instance latency, so the
-            # row flavor switches to the one-shot QR purge (identical greedy
-            # keep semantics, ops/masked_gj.py::masked_purge_qr).
-            if settings.pivot == "row" and R >= 16:
-                from ssqp_tpu.ops.masked_gj import masked_purge_qr
-                purge = masked_purge_qr
-            else:
-                purge = masked_gj_purge if settings.pivot == "row" else masked_gj_purge_col
+            # pivoting, utils.jl:2-86); dispatch rule shared with the refine
+            # and diff layers in ops/masked_gj.py::select_purge.
+            from ssqp_tpu.ops.masked_gj import select_purge
+
+            purge = select_purge(settings.pivot, R)
             keep, inconsistent, bad_rows = purge(AG * fm[None, :], bE, act, tol)
         else:
             keep, inconsistent, bad_rows = (

@@ -125,17 +125,22 @@ class TestLayerSemantics:
         r1 = solve_qp_diff(Q, SETTINGS)
         assert int(r1.status) == int(r0.status) > 0
         np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x), atol=1e-8)
-        # stationarity with the layer's own duals
-        AG = np.concatenate([np.asarray(Q.A), np.asarray(Q.G)], axis=0)
-        res = (
-            np.asarray(Q.V) @ np.asarray(r1.x)
-            + np.asarray(Q.q)
-            + AG.T @ np.asarray(r1.lam)
-            - np.asarray(r1.gamma)
-        )
-        np.testing.assert_allclose(res, 0.0, atol=1e-9)
+        # solver-independent oracle at the layer's point (NOT the identity
+        # gamma := Vx + q + AG'lam, which is true by construction)
+        from ssqp_tpu.utils.problems import kkt_residual
+
+        rep = kkt_residual(*(np.asarray(getattr(Q, f)) for f in
+                             ("V", "q", "A", "b", "G", "g", "d", "u")),
+                           np.asarray(r1.x))
+        assert max(rep.values()) < 1e-7, rep
+        # the layer's own lam must satisfy stationarity on FREE coords with
+        # gamma ~ 0 there (gamma on free coords is the stationarity residual)
         free = np.asarray(r1.S[: Q.N]) == 0
         np.testing.assert_allclose(np.asarray(r1.gamma)[free], 0.0, atol=1e-8)
+        # and active-inequality multipliers must be >= 0 (valid certificate)
+        act_ineq = np.asarray(r1.S[Q.N:]) == 4
+        lam_ineq = np.asarray(r1.lam[Q.M:])
+        assert (lam_ineq[act_ineq] >= -1e-9).all()
 
     def test_vmap_jacobian_frontier(self):
         # batched jacfwd through a frontier slice: dx*/dlam for several lam

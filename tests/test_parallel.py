@@ -113,6 +113,16 @@ class TestBatch:
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(res.gamma),
                                    np.asarray(ref.gamma), atol=1e-6)
+        # coarse-to-fine variant: same contract, one warm pass from nearest
+        # coarse anchor instead of sequential waves
+        from ssqp_tpu.parallel.batch import solve_qp_batch_c2f
+
+        r2 = solve_qp_batch_c2f(Qb, SETTINGS, shared, coarse=4)
+        assert np.all(np.asarray(r2.status) > 0)
+        np.testing.assert_allclose(np.asarray(r2.x), np.asarray(ref.x),
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(r2.lam), np.asarray(ref.lam),
+                                   atol=1e-6)
 
     def test_lp_batch(self):
         # min -x1-2x2 s.t. x1+x2<=4, x1<=3, x2<=3 ; optimum (1,3) f=-7... check:
