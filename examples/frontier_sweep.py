@@ -1,8 +1,9 @@
 """Efficient-frontier sweep at TPU scale (reference: examples/SSQPspeed.jl).
 
-Traces a 256-point efficient frontier three ways and compares:
+Traces a 256-point efficient frontier four ways and compares:
   * batched cold solves (vmap, guess-started) — maximum parallelism;
   * warm-started scan along the grid — the reference's sequential trick;
+  * wave-parallel warm sweep — both at once (the headline protocol);
   * sharded across the available device mesh with psum statistics.
 
 Run: python examples/frontier_sweep.py
@@ -37,9 +38,12 @@ def main():
                          u=np.full(N, 8.0 / N, np.float32), dtype=np.float32)
     lams = jnp.linspace(0.0, 2.0, points, dtype=jnp.float32)
 
+    from ssqp_tpu.models.frontier import frontier_waves_sweep
+
     for name, fn in [
         ("batched cold", lambda: frontier_batch_sweep(Q, jnp.asarray(rets), lams, settings)),
         ("warm scan   ", lambda: frontier_warm_sweep(Q, jnp.asarray(rets), lams, settings)),
+        ("wave-warm   ", lambda: frontier_waves_sweep(Q, jnp.asarray(rets), lams, settings, waves=8)),
     ]:
         f = fn()
         jax.block_until_ready(f)  # includes compile on first call

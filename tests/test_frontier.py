@@ -71,6 +71,15 @@ class TestFrontierSweeps:
         it_b = np.abs(np.asarray(fb.status)).mean()
         it_w = np.abs(np.asarray(fw.status)).mean()
         assert it_w <= 20 and it_b <= 20, (it_w, it_b)
+        # the wave-parallel middle ground agrees too (headline protocol)
+        from ssqp_tpu.models.frontier import frontier_waves_sweep
+
+        fv = frontier_waves_sweep(Q, jnp.asarray(rets), lams, SETTINGS,
+                                  waves=4)
+        assert np.all(np.asarray(fv.status) > 0)
+        np.testing.assert_allclose(
+            np.asarray(fv.x), np.asarray(fb.x), atol=1e-7
+        )
 
     def test_frontier_monotone(self):
         V, rets = _market(N=10, seed=4)
