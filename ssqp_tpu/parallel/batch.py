@@ -293,19 +293,30 @@ def _rescue_and_attach(Q: QP, ax, merged: Result, settings: Settings,
     if force is not None:
         need = need | force
 
-    def rescue_one(p, nd):
-        x0, Sx0, Se0, st1 = init_qp_traced(p, settings, skip=~nd)
-        pre = jnp.where(nd, st1, jnp.asarray(-9, jnp.int32))
-        return solve_qp_warm2(p, Sx0, Se0, x0, settings, pre_status=pre,
-                              with_duals=False)
+    def do_rescue(args):
+        Qb, nd, m = args
 
-    rr = jax.vmap(rescue_one, in_axes=(ax, 0))(Q, need)
-    fix = need & (rr.status > 0)
-    merged = Result(
-        jnp.where(fix[:, None], rr.x, merged.x),
-        jnp.where(fix[:, None], rr.S, merged.S).astype(merged.S.dtype),
-        jnp.where(fix, rr.status, merged.status).astype(jnp.int32),
-    )
+        def rescue_one(p, ndi):
+            x0, Sx0, Se0, st1 = init_qp_traced(p, settings, skip=~ndi)
+            pre = jnp.where(ndi, st1, jnp.asarray(-9, jnp.int32))
+            return solve_qp_warm2(p, Sx0, Se0, x0, settings, pre_status=pre,
+                                  with_duals=False)
+
+        rr = jax.vmap(rescue_one, in_axes=(ax, 0))(Qb, nd)
+        fix = nd & (rr.status > 0)
+        return Result(
+            jnp.where(fix[:, None], rr.x, m.x),
+            jnp.where(fix[:, None], rr.S, m.S).astype(m.S.dtype),
+            jnp.where(fix, rr.status, m.status).astype(jnp.int32),
+        )
+
+    # batch-level cond: the rescue branch (Phase-1 + warm2 over the whole
+    # batch, cheap-but-not-free even fully skipped) runs ONLY when some
+    # instance actually needs it — the common all-solved dispatch pays one
+    # predicate reduction
+    merged = Result(merged.x, merged.S, merged.status.astype(jnp.int32))
+    merged = jax.lax.cond(
+        jnp.any(need), do_rescue, lambda args: args[2], (Q, need, merged))
     return jax.vmap(lambda p, r: _attach_duals(p, r, settings),
                     in_axes=(ax, 0))(Q, merged)
 

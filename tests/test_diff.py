@@ -159,6 +159,25 @@ class TestLayerSemantics:
         fd = (np.asarray(alloc(0.7 + h)) - np.asarray(alloc(0.7 - h))) / (2 * h)
         np.testing.assert_allclose(np.asarray(Jx[1]), fd, rtol=2e-4, atol=5e-6)
 
+    def test_jacfwd_jacrev_agree(self):
+        # forward- and reverse-mode jacobians of the solution map must match
+        # (exercises the transpose rules of the fixed-active-set re-solve)
+        Q = _mk(seed=17, J=2)
+
+        def xstar(q):
+            return solve_qp_diff(dataclasses.replace(Q, q=q), SETTINGS).x
+
+        Jf = jax.jacfwd(xstar)(Q.q)
+        Jr = jax.jacrev(xstar)(Q.q)
+        np.testing.assert_allclose(np.asarray(Jf), np.asarray(Jr), atol=1e-10)
+        # dx*/dq is symmetric negative-semidefinite on the free block
+        # (sensitivity of a strictly convex QP's minimizer w.r.t. its linear
+        # term) — a structural property, not an implementation detail
+        M = np.asarray(Jf)
+        np.testing.assert_allclose(M, M.T, atol=1e-10)
+        w = np.linalg.eigvalsh((M + M.T) / 2)
+        assert w.max() <= 1e-10, w
+
     def test_jit_composes(self):
         Q = _mk(seed=13)
         f = jax.jit(lambda q: solve_qp_diff(
