@@ -126,3 +126,50 @@ def test_soak_qp_vs_slsqp():
             assert f <= fref + 1e-6 * (1 + abs(fref)), (i, tag, f, fref)
         if i % 10 == 9:
             jax.clear_caches()
+
+
+def test_soak_diff_gradients_vs_fd():
+    """Gradient soak for the differentiable layer: jax.grad of random linear
+    functionals of x*(theta) vs central finite differences, over random QPs
+    and every leaf the layer claims exact gradients for. Catches active-set
+    purge desynchronization (wrong keep-mask => wrong multipliers => wrong
+    IFT jacobian) that the point tests' fixed seeds could miss."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ssqp_tpu.solvers.diff import solve_qp_diff
+    from ssqp_tpu.solvers.ssqp import solve_qp
+
+    S = Settings()
+    rng = np.random.default_rng(515)
+    checked = 0
+    for i in range(20):
+        N, M, J = QP_SHAPES[i % len(QP_SHAPES)]
+        Q = _rand_qp(rng, N, M, J)
+        if int(solve_qp(Q).status) <= 0:
+            continue
+        w = rng.standard_normal(N)
+        for leaf in ("q", "b", "u"):
+            def loss(arr, leaf=leaf):
+                Qi = dataclasses.replace(Q, **{leaf: arr})
+                return w @ solve_qp_diff(Qi, S).x
+
+            base = np.asarray(getattr(Q, leaf), np.float64)
+            g_ad = np.asarray(jax.grad(loss)(jnp.asarray(base)))
+            h = 1e-6
+            g_fd = np.zeros_like(base)
+            for k in range(base.size):
+                e = np.zeros_like(base)
+                e[k] = h
+                g_fd[k] = (float(loss(jnp.asarray(base + e)))
+                           - float(loss(jnp.asarray(base - e)))) / (2 * h)
+            # FD steps near an active-set boundary straddle a kink — allow
+            # a few coordinates to disagree (the derivative is one-sided
+            # there); the bulk must match tightly
+            bad = np.abs(g_ad - g_fd) > 2e-4 * (1 + np.abs(g_fd))
+            assert bad.mean() <= 0.15, (i, leaf, bad.sum(), base.size)
+            checked += 1
+        if i % 5 == 4:
+            jax.clear_caches()
+    assert checked >= 30  # enough problems actually exercised
