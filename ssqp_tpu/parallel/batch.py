@@ -235,23 +235,29 @@ def solve_qp_batch_waves(
     # pass over the merged result: per-wave attachment would pay the
     # sequential CG latency of _attach_duals `waves` times instead of once
     # (the attach work is per-instance independent, so moving it is exact).
-    r0 = jax.vmap(lambda p: solve_qp_auto_core(p, settings), in_axes=(ax,))(
-        with_q(qg[0]))
-    carry0 = (r0.S[:, :Q.N], r0.S[:, Q.N:], r0.x)
+    r0, sol0 = jax.vmap(
+        lambda p: solve_qp_auto_core(p, settings, return_sol=True),
+        in_axes=(ax,))(with_q(qg[0]))
+    carry0 = (r0.S[:, :Q.N], r0.S[:, Q.N:], r0.x, sol0)
 
     def step(carry, qk):
-        Sx, Se, x = carry
-        rk = jax.vmap(
-            lambda p, sx, se, xx: solve_qp_warm2(p, sx, se, xx, settings,
-                                                 with_duals=False),
-            in_axes=(ax, 0, 0, 0),
-        )(with_q(qk), Sx, Se, x)
+        Sx, Se, x, sol = carry
+        # the carried raw KKT CG solution warm-starts each slot's CG: the
+        # neighbor solved a near-identical system, so the per-column early
+        # exit in cg_solve_padded cuts the wave's sequential matvec chain
+        rk, solk = jax.vmap(
+            lambda p, sx, se, xx, s0: solve_qp_warm2(
+                p, sx, se, xx, settings, with_duals=False, sol0=s0,
+                return_sol=True),
+            in_axes=(ax, 0, 0, 0, 0),
+        )(with_q(qk), Sx, Se, x, sol)
         ok = (rk.status > 0)[:, None]
         # carry only good states forward; failed slots keep the neighbor
         carry = (
             jnp.where(ok, rk.S[:, :Q.N], Sx).astype(jnp.int8),
             jnp.where(ok, rk.S[:, Q.N:], Se).astype(jnp.int8),
             jnp.where(ok, rk.x, x),
+            jnp.where(ok[:, :, None], solk, sol),
         )
         return carry, rk
 

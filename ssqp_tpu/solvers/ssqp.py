@@ -81,11 +81,12 @@ def _free_k(z, Sx, V, q, tol):
     return Sx_new, optimal
 
 
-@partial(jax.jit, static_argnames=("settings",))
+@partial(jax.jit, static_argnames=("settings", "return_sol"))
 @highest_matmul
 def solve_qp_loop(
     Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None,
     mf_flag=None, max_iter=None, cg_iters=None, sol0=None,
+    return_sol: bool = False,
 ) -> Result:
     """Run the S-loop from a warm start (reference solveQP(Q, S, x0),
     SSQP.jl:237-377). ``Sx0``/``Se0`` are int8 status arrays, ``x0`` a feasible
@@ -394,7 +395,12 @@ def solve_qp_loop(
     st = jax.lax.while_loop(cond, body, st0)
     status = jnp.where(st.done, st.status, -max_it).astype(jnp.int32)
     S = jnp.concatenate([st.Sx, st.Se]) if J > 0 else st.Sx
-    return Result(st.z, S, status)
+    res = Result(st.z, S, status)
+    # ``return_sol`` exposes the exit KKT CG solution so a caller solving a
+    # NEARBY system next (grid warm protocols) can warm-start its CG —
+    # cg_solve_padded's early exit then skips most of the sequential matvec
+    # chain instead of re-converging every column from zero.
+    return (res, st.sol) if return_sol else res
 
 
 def _attach_duals(Q: QP, res: Result, settings: Optional[Settings] = None) -> Result:
@@ -439,33 +445,47 @@ def _attach_duals(Q: QP, res: Result, settings: Optional[Settings] = None) -> Re
     return Result(x, res.S, res.status, lam, gamma)
 
 
-@partial(jax.jit, static_argnames=("settings", "with_duals"))
+@partial(jax.jit, static_argnames=("settings", "with_duals", "return_sol"))
 @highest_matmul
 def solve_qp_warm2(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None,
-                   with_duals: bool = True) -> Result:
+                   with_duals: bool = True, sol0=None,
+                   return_sol: bool = False) -> Result:
     """Two-pass warm-started solve: fast multi-free loop with a capped
     iteration budget, then an exact reference-semantics loop from the same
     start for instances the fast pass failed to converge (cycling is possible
     once feasibility is traded away). Both passes share one compiled loop body
-    via traced flags. Fully traced, so it vmaps/shard_maps."""
+    via traced flags. Fully traced, so it vmaps/shard_maps.
+
+    ``sol0``/``return_sol`` thread the raw KKT CG solution through, so a grid
+    protocol solving adjacent instances in sequence (parallel/batch.py's
+    waves) carries it as a CG warm start — adjacent grid points solve
+    near-identical KKT systems, and cg_solve_padded's per-column early exit
+    turns that into a shorter sequential matvec chain."""
     if not settings.multi_free:
-        r = solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=pre_status)
-        return _attach_duals(Q, r, settings) if with_duals else r
+        r, sol = solve_qp_loop(Q, Sx0, Se0, x0, settings,
+                               pre_status=pre_status, sol0=sol0,
+                               return_sol=True)
+        r = _attach_duals(Q, r, settings) if with_duals else r
+        return (r, sol) if return_sol else r
     cap = min(settings.max_iter, Q.N + Q.J + 64)
-    r1 = solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=pre_status,
-                       mf_flag=True, max_iter=cap,
-                       cg_iters=settings.cg_iters)
+    r1, sol1 = solve_qp_loop(Q, Sx0, Se0, x0, settings,
+                             pre_status=pre_status,
+                             mf_flag=True, max_iter=cap,
+                             cg_iters=settings.cg_iters, sol0=sol0,
+                             return_sol=True)
     ok1 = r1.status > 0
     pre = jnp.asarray(1 if pre_status is None else pre_status, jnp.int32)
     pre2 = jnp.where(ok1, jnp.asarray(-9, jnp.int32), pre)
     # exact pass: reference stepping semantics + a 4x CG budget, so an
     # instance that failed on solver noise gets a higher-accuracy retry
-    r2 = solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=pre2,
-                       mf_flag=False, max_iter=settings.max_iter,
-                       cg_iters=4 * settings.cg_iters)
+    r2, sol2 = solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=pre2,
+                             mf_flag=False, max_iter=settings.max_iter,
+                             cg_iters=4 * settings.cg_iters, sol0=sol0,
+                             return_sol=True)
     x = jnp.where(ok1, r1.x, r2.x)
     S = jnp.where(ok1, r1.S, r2.S)
     status = jnp.where(ok1, r1.status, r2.status).astype(jnp.int32)
+    sol = jnp.where(ok1, sol1, sol2)
     if settings.kkt_cg and settings.escalate_direct:
         # Escalation: an instance the CG path flagged as a numerical error
         # (stalled CG / failed acceptance gate) gets one direct-Cholesky
@@ -482,8 +502,10 @@ def solve_qp_warm2(Q: QP, Sx0, Se0, x0, settings: Settings, pre_status=None,
         x = jnp.where(esc, r3.x, x)
         S = jnp.where(esc, r3.S, S)
         status = jnp.where(esc, r3.status, status).astype(jnp.int32)
+        # the direct path never updates the CG carry; sol stays from r1/r2
     r = Result(x, S, status)
-    return _attach_duals(Q, r, settings) if with_duals else r
+    r = _attach_duals(Q, r, settings) if with_duals else r
+    return (r, sol) if return_sol else r
 
 
 def solve_qp(
@@ -664,17 +686,22 @@ def _primal_feasible(Q: QP, x, ftol):
 
 
 def solve_qp_auto_core(
-    Q: QP, settings: Settings, settings_lp: Optional[Settings] = None
+    Q: QP, settings: Settings, settings_lp: Optional[Settings] = None,
+    return_sol: bool = False,
 ) -> Result:
     """Three-stage auto solve, duals not attached (see :func:`solve_qp_auto`).
     Split out so internal callers (frontier rescue branches) get a Result
-    whose pytree matches :func:`solve_qp_loop` outputs under `lax.cond`."""
+    whose pytree matches :func:`solve_qp_loop` outputs under `lax.cond`
+    (``return_sol=False`` keeps that contract; True additionally returns the
+    exit KKT CG solution for grid protocols to carry, see solve_qp_warm2)."""
     from ssqp_tpu.solvers.phase1 import init_qp_traced
 
     dtype = Q.V.dtype
     if not settings.multi_free:
         x0, Sx0, Se0, st1 = init_qp_traced(Q, settings_lp or settings)
-        return solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=st1)
+        r, sol = solve_qp_loop(Q, Sx0, Se0, x0, settings, pre_status=st1,
+                               return_sol=True)
+        return (r, sol) if return_sol else r
 
     cap = min(settings.max_iter, Q.N + Q.J + 64)
     # The guess start either converges almost immediately (loose bounds:
@@ -682,20 +709,22 @@ def solve_qp_auto_core(
     # much) — so give it a short budget and fail over quickly.
     guess_cap = min(cap, 16)
     zg, Sxg, Seg, solg = _guess_start(Q, settings)
-    rg = solve_qp_loop(Q, Sxg, Seg, zg, settings,
-                       mf_flag=True, max_iter=guess_cap,
-                       cg_iters=settings.cg_iters, sol0=solg)
+    rg, sol_g = solve_qp_loop(Q, Sxg, Seg, zg, settings,
+                              mf_flag=True, max_iter=guess_cap,
+                              cg_iters=settings.cg_iters, sol0=solg,
+                              return_sol=True)
     ftol = jnp.asarray(10.0 * settings.tol, dtype)
     okg = (rg.status > 0) & _primal_feasible(Q, rg.x, ftol)
 
     x0, Sx0, Se0, st1 = init_qp_traced(Q, settings_lp or settings, skip=okg)
     pre1 = jnp.where(okg, jnp.asarray(-9, jnp.int32), st1)
-    r2 = solve_qp_warm2(Q, Sx0, Se0, x0, settings, pre_status=pre1,
-                        with_duals=False)
+    r2, sol_2 = solve_qp_warm2(Q, Sx0, Se0, x0, settings, pre_status=pre1,
+                               with_duals=False, return_sol=True)
     x = jnp.where(okg, rg.x, r2.x)
     S = jnp.where(okg, rg.S, r2.S)
     status = jnp.where(okg, rg.status, r2.status).astype(jnp.int32)
-    return Result(x, S, status)
+    r = Result(x, S, status)
+    return (r, jnp.where(okg, sol_g, sol_2)) if return_sol else r
 
 
 @partial(jax.jit, static_argnames=("settings", "settings_lp"))
