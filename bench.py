@@ -63,6 +63,12 @@ def main():
         import dataclasses
 
         settings = dataclasses.replace(settings, pdas_pcg=True)
+    if os.environ.get("BENCH_PDAS_CHEB") == "1":
+        # A/B knob for the reduction-free Chebyshev PDAS rounds
+        # (Settings.pdas_cheb, ops/kkt.py::_vp_cheb_xla).
+        import dataclasses
+
+        settings = dataclasses.replace(settings, pdas_cheb=True)
     rng = np.random.default_rng(7)
     H = rng.standard_normal((N, N))
     V = H @ H.T / N + 0.5 * np.eye(N)

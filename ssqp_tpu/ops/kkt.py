@@ -222,7 +222,129 @@ def _vp_pcg_xla(V, fm, B, W, tol2, iters, X0):
     return X, jnp.sum(r * r, axis=0)
 
 
-def cg_solve_padded(V, fm, B, iters, rtol, X0=None, W=None):
+def _vp_cheb_xla(V, fm, B, dinv, lo, hi, tol2, iters, X0):
+    """Preconditioned Chebyshev semi-iteration on ``Vp X = B`` (multi-rhs).
+
+    Unlike CG, the step scalars come from a fixed two-term recurrence on the
+    spectral interval ``[lo, hi]`` of the Jacobi-preconditioned operator —
+    NO per-column dot products. Each iteration is one shared GEMM plus two
+    axpys; the only reduction left is the early-exit residual check in the
+    loop cond (CG pays four: pAp, r'z, the alive mask, and the cond). The
+    experiment targets the measured headline floor: the CG per-iteration cost
+    at batch 8192 was shown precision- and HBM-layout-independent —
+    structural VPU reduction + loop-sequencing work (see CLAUDE.md negative
+    results) — which is exactly what this recurrence removes.
+
+    Valid because headline batches share one V: by Cauchy interlacing every
+    masked sub-operator's Jacobi-preconditioned spectrum lies inside the full
+    matrix's ``[λmin, λmax]`` (the padded identity block contributes exactly
+    1, and a Jacobi-scaled SPD matrix has unit trace-average so
+    ``λmin <= 1 <= λmax``). Requires ``lo <= λmin``: the Chebyshev polynomial
+    grows outside the interval, so the bound estimator applies a safety
+    margin downward and callers keep the residual acceptance gate.
+
+    Saad, Iterative Methods for Sparse Linear Systems, alg. 12.1 recurrence:
+    ``rho_k = 1/(2 sigma - rho_{k-1})``, ``d_k = rho_k rho_{k-1} d_{k-1} +
+    (2 rho_k / delta) z_k`` with ``sigma = theta/delta``.
+    Returns (X, final squared residual per column).
+    """
+    dtype = B.dtype
+    theta = (hi + lo) / 2.0
+    delta = jnp.maximum((hi - lo) / 2.0, jnp.asarray(1e-30, dtype))
+    sigma = theta / delta
+
+    R = B - _vp_apply(V, fm, X0)
+    Z = R * dinv[:, None]
+    D = Z / theta
+    rho0 = 1.0 / sigma
+
+    def body(carry):
+        i, X, R, D, rho = carry
+        X = X + D
+        R = R - _vp_apply(V, fm, D)
+        Z = R * dinv[:, None]
+        rho_n = 1.0 / (2.0 * sigma - rho)
+        D = (rho_n * rho) * D + (2.0 * rho_n / delta) * Z
+        return i + 1, X, R, D, rho_n
+
+    def cond(carry):
+        i, X, R, D, rho = carry
+        return (i < iters) & jnp.any(jnp.sum(R * R, axis=0) > tol2)
+
+    _, X, R, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), X0, R, D, jnp.asarray(rho0, dtype)),
+    )
+    return X, jnp.sum(R * R, axis=0)
+
+
+def shared_jacobi_bounds(V, W=None, power_iters: int = 32):
+    """One-time spectral interval of the Jacobi-scaled operator
+    ``S = D^{-1/2} V D^{-1/2}`` for the Chebyshev solve, with safety margins.
+
+    λmax: power iteration (Rayleigh quotient converges from below) capped by
+    the Gershgorin row-sum bound (a GUARANTEED upper bound — overestimating
+    λmax only slows Chebyshev, underestimating diverges it, so the cap keeps
+    the unsafe direction impossible while the Rayleigh estimate keeps the
+    interval tight).
+
+    λmin: the unsafe direction is OVERestimating (the Chebyshev polynomial
+    grows below ``lo``), and every convergent-from-inside estimator
+    overestimates — so a 0.8 margin is applied. When ``W ~= V^{-1}`` is
+    available (Settings.pdas_precond computes it anyway) the estimate runs
+    as power iteration on ``D^{1/2} W D^{1/2}`` — the inverse's TOP
+    eigenvalue ``1/λmin`` is well-separated precisely when λmin is small,
+    where the estimate matters most. Fallback: shifted power iteration on
+    ``hi·I - S``.
+
+    All work is ~2·power_iters shared GEMVs — trivial one-time cost, and on
+    shared-V instance batches it hoists out of `vmap` entirely.
+    Returns scalars (lo, hi) with ``lo <= 1 <= hi`` enforced (the padded
+    identity block always contributes eigenvalue 1).
+    """
+    dtype = V.dtype
+    N = V.shape[0]
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    dg = jnp.maximum(jnp.diag(V), tiny)
+    s = jnp.sqrt(dg)
+    sinv = 1.0 / s
+
+    def smv(v):
+        return sinv * (V @ (sinv * v))
+
+    def _power(mv, v0, n):
+        def body(_, v):
+            w = mv(v)
+            return w / jnp.maximum(jnp.linalg.norm(w), tiny)
+        v = jax.lax.fori_loop(0, n, body, v0)
+        return jnp.vdot(v, mv(v)) / jnp.maximum(jnp.vdot(v, v), tiny)
+
+    # Deterministic start with all-sign content so no extreme eigenvector is
+    # orthogonal to it by symmetry.
+    i = jnp.arange(N, dtype=dtype)
+    v0 = jnp.cos(0.7 * i + 0.3) + 0.01
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    ray_hi = _power(smv, v0, power_iters)
+    gersh = jnp.max(jnp.sum(jnp.abs(sinv[:, None] * V * sinv[None, :]),
+                            axis=1))
+    hi = jnp.minimum(1.1 * ray_hi, gersh)
+    hi = jnp.maximum(hi, jnp.asarray(1.0, dtype))
+
+    if W is not None:
+        def wmv(v):
+            return s * (W @ (s * v))
+        mu = _power(wmv, v0, power_iters)  # ~ 1/λmin, from below
+        lo = 0.8 / jnp.maximum(mu, jnp.asarray(1.0, dtype))
+    else:
+        ray_shift = _power(lambda v: hi * v - smv(v), v0, power_iters)
+        lo = 0.8 * jnp.maximum(hi - ray_shift, tiny)
+    eps = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    lo = jnp.clip(lo, eps * hi, jnp.asarray(1.0, dtype))
+    return lo, hi
+
+
+def cg_solve_padded(V, fm, B, iters, rtol, X0=None, W=None, cheb=None):
     """Jacobi-preconditioned conjugate gradients on ``Vp X = B`` (multi-rhs).
 
     The padded operator's spectrum is {eigs of V_FF} ∪ {1}; with the usual
@@ -240,6 +362,11 @@ def cg_solve_padded(V, fm, B, iters, rtol, X0=None, W=None):
     PDAS warm-start heuristic, whose successive rounds solve nearly the same
     system (solvers/ssqp.py::_guess_start).
 
+    ``cheb=(lo, hi)`` switches the iteration to the preconditioned Chebyshev
+    semi-iteration on that shared spectral interval (see
+    :func:`shared_jacobi_bounds`) — reduction-free loop body; ``W`` switches
+    to the shared-inverse PCG. Default is Jacobi-CG.
+
     Returns (X, rel_residual (K,)).
     """
     dinv = 1.0 / (fm * jnp.diag(V) + (1.0 - fm))
@@ -254,7 +381,11 @@ def cg_solve_padded(V, fm, B, iters, rtol, X0=None, W=None):
         # burn the whole iteration budget, so such columns restart at 0.
         live = (jnp.sum(B * B, axis=0) > 1e-30)[None, :]
         X = jnp.where(live, X0, 0.0)
-    if W is not None:
+    if cheb is not None:
+        lo, hi = cheb
+        X, rr = _vp_cheb_xla(V, fm, B, dinv, lo, hi, tol2,
+                             jnp.asarray(iters, jnp.int32), X)
+    elif W is not None:
         X, rr = _vp_pcg_xla(V, fm, B, W, tol2,
                             jnp.asarray(iters, jnp.int32), X)
     else:
@@ -266,7 +397,7 @@ def cg_solve_padded(V, fm, B, iters, rtol, X0=None, W=None):
 
 def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol,
                  ok_rtol=1e-3, ridge=0.0, x0=None, return_sol=False,
-                 W=None):
+                 W=None, cheb=None):
     """CG variant of :func:`kkt_solve` — same contract, factorization-free.
 
     ``cg_iters``/``rtol`` may be traced. The (R, R) Schur system still uses a
@@ -296,14 +427,15 @@ def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol,
 
     if AG.shape[0] == 0:
         sol, rel = cg_solve_padded(V, fm, cp[:, None], cg_iters, rtol, X0=x0,
-                                   W=W)
+                                   W=W, cheb=cheb)
         w = sol[:, 0]
         alphaL = jnp.zeros((0,), dtype)
         alpha_f = -w
         relmax = jnp.max(rel, initial=0.0)
     else:
         rhs = jnp.concatenate([cp[:, None], Ap.T], axis=1)
-        sol, rel = cg_solve_padded(V, fm, rhs, cg_iters, rtol, X0=x0, W=W)
+        sol, rel = cg_solve_padded(V, fm, rhs, cg_iters, rtol, X0=x0, W=W,
+                                   cheb=cheb)
         relmax = jnp.max(rel, initial=0.0)
         w, mT = sol[:, 0], sol[:, 1:]
         C = Ap @ mT

@@ -614,7 +614,8 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
         zb = jnp.where(Sx == UP, Q.u, jnp.where(Sx == DN, Q.d, 0.0))
         res, sol = kkt_solve_cg(Q.V, Q.q, AG, bg, zb, free, keep,
                                 cg_it, settings.pdas_rtol, ridge=ridge,
-                                x0=sol, return_sol=True, W=W_loop)
+                                x0=sol, return_sol=True, W=W_loop,
+                                cheb=cheb_bounds)
         Sx_new, Se_new, z_new = _update(Sx, Se, res)
         changed = jnp.any(Sx_new != Sx) | jnp.any(Se_new != Se)
         return it + 1, Sx_new, Se_new, z_new, sol, changed
@@ -629,6 +630,7 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
     sol0 = jnp.zeros((N, 1 + M + J), dtype)
     it0 = jnp.asarray(0, jnp.int32)
     W_loop = None
+    cheb_bounds = None
     if settings.pdas_precond:
         from jax.scipy.linalg import cho_solve, cholesky as _chol
 
@@ -642,6 +644,13 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
         W = cho_solve((Lw, True), eye)
         if settings.pdas_pcg:
             W_loop = W
+        if settings.pdas_cheb:
+            # One-time shared spectral interval for the Chebyshev rounds
+            # (reduction-free loop body — see ops/kkt.py::_vp_cheb_xla).
+            # Valid for every pin mask by Cauchy interlacing; hoists out of
+            # vmap on shared-V batches like W itself.
+            from ssqp_tpu.ops.kkt import shared_jacobi_bounds
+            cheb_bounds = shared_jacobi_bounds(Q.V, W)
         keep0 = (
             jnp.concatenate([jnp.ones((M,), bool), jnp.zeros((J,), bool)])
             if J > 0 else jnp.ones((M,), bool)

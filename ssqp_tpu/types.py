@@ -128,6 +128,16 @@ class Settings:
     # fractions (measured study in solvers/ssqp.py history); A/B via
     # BENCH_PDAS_PCG=1.
     pdas_pcg: bool = False
+    # Experimental: run the PDAS rounds' inner solve as a preconditioned
+    # CHEBYSHEV semi-iteration instead of CG (ops/kkt.py::_vp_cheb_xla).
+    # Scalar recurrence coefficients replace CG's per-column dot products —
+    # the loop body has ZERO reductions (only the early-exit cond keeps one)
+    # — targeting the measured reduction/loop-sequencing floor of the
+    # headline batch. Spectral bounds come one-time from the shared V/W
+    # (ops/kkt.py::shared_jacobi_bounds, hoisted out of vmap on shared-V
+    # batches); requires pdas_precond for the W-based λmin estimate. A/B via
+    # BENCH_PDAS_CHEB=1.
+    pdas_cheb: bool = False
     # Acceptance gate on the KKT solve's relative residual (CG residual and
     # the Schur/primal residuals of either path). Above it the iteration is
     # flagged a numerical error (status -1) exactly like a failed reference

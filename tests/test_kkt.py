@@ -102,3 +102,92 @@ def test_dropped_multiplier_recovery():
     np.testing.assert_allclose(
         float(Lda[2]), float(res.alphaL[M + 0]), atol=1e-9
     )
+
+
+class TestChebyshevSolve:
+    """The reduction-free Chebyshev semi-iteration (ops/kkt.py::_vp_cheb_xla)
+    must match CG on the masked padded operator, with shared-V spectral
+    bounds that are safe (enclose the true Jacobi-scaled spectrum) so Cauchy
+    interlacing covers every pin mask."""
+
+    def _problem(self, seed=0, N=48, K=4):
+        rng = np.random.default_rng(seed)
+        H = rng.standard_normal((N, N))
+        V = H @ H.T / N + 0.5 * np.eye(N)
+        fm = (rng.random(N) > 0.4).astype(np.float64)
+        B = rng.standard_normal((N, K))
+        return V, fm, B
+
+    def test_bounds_safe(self):
+        from ssqp_tpu.ops.kkt import shared_jacobi_bounds
+
+        for seed in range(5):
+            V, _, _ = self._problem(seed)
+            lo, hi = shared_jacobi_bounds(jnp.asarray(V))
+            s = 1.0 / np.sqrt(np.diag(V))
+            ev = np.linalg.eigvalsh(s[:, None] * V * s[None, :])
+            assert float(lo) <= ev.min() + 1e-12, (seed, float(lo), ev.min())
+            assert float(hi) >= ev.max() - 1e-12, (seed, float(hi), ev.max())
+            # the padded identity block contributes eigenvalue exactly 1
+            assert float(lo) <= 1.0 <= float(hi)
+
+    def test_bounds_with_inverse(self):
+        from ssqp_tpu.ops.kkt import shared_jacobi_bounds
+
+        V, _, _ = self._problem(2)
+        W = np.linalg.inv(V)
+        lo, hi = shared_jacobi_bounds(jnp.asarray(V), jnp.asarray(W))
+        s = 1.0 / np.sqrt(np.diag(V))
+        ev = np.linalg.eigvalsh(s[:, None] * V * s[None, :])
+        assert float(lo) <= ev.min() + 1e-12
+        assert float(hi) >= ev.max() - 1e-12
+
+    def test_matches_cg_on_masked_operator(self):
+        from ssqp_tpu.ops.kkt import (
+            _vp_cg_xla, _vp_cheb_xla, shared_jacobi_bounds,
+        )
+
+        V, fm, B = self._problem(1)
+        Vj, fmj, Bj = jnp.asarray(V), jnp.asarray(fm), jnp.asarray(B)
+        lo, hi = shared_jacobi_bounds(Vj)
+        dinv = 1.0 / (fmj * jnp.diag(Vj) + (1.0 - fmj))
+        X0 = jnp.zeros_like(Bj)
+        tol2 = 1e-20 * jnp.sum(Bj * Bj, axis=0)
+        Xc, _ = _vp_cg_xla(Vj, fmj, Bj, dinv, tol2,
+                           jnp.asarray(300, jnp.int32), X0)
+        Xh, rr = _vp_cheb_xla(Vj, fmj, Bj, dinv, lo, hi, tol2,
+                              jnp.asarray(600, jnp.int32), X0)
+        np.testing.assert_allclose(np.asarray(Xh), np.asarray(Xc),
+                                   atol=1e-8, rtol=1e-8)
+        # returned residual corresponds to the returned iterate
+        R = Bj - (fmj[:, None] * (Vj @ (Xh * fmj[:, None]))
+                  + (1.0 - fmj)[:, None] * Xh)
+        np.testing.assert_allclose(np.asarray(jnp.sum(R * R, axis=0)),
+                                   np.asarray(rr), rtol=1e-6, atol=1e-18)
+
+    def test_pdas_cheb_end_to_end_parity(self):
+        """Full batched solve with pdas_cheb on/off: same statuses and
+        solutions (the PDAS guess identifies the same active set; the exact
+        S-loop then produces identical iterates)."""
+        import dataclasses
+
+        from ssqp_tpu.parallel.batch import frontier_batch, solve_qp_batch
+        from ssqp_tpu.types import Settings, make_qp
+
+        rng = np.random.default_rng(3)
+        N, Bn = 32, 48
+        H = rng.standard_normal((N, N))
+        V = H @ H.T / N + 0.5 * np.eye(N)
+        mu = rng.uniform(0, 0.2, N)
+        Q = make_qp(V.astype(np.float32), mu.astype(np.float32),
+                    u=np.full(N, 4.0 / N, np.float32), dtype=np.float32)
+        Qb, shared = frontier_batch(
+            Q, jnp.linspace(0.0, 2.0, Bn).astype(jnp.float32))
+        s0 = Settings.for_dtype(jnp.float32)
+        s1 = dataclasses.replace(s0, pdas_cheb=True)
+        r0 = solve_qp_batch(Qb, s0, shared=shared)
+        r1 = solve_qp_batch(Qb, s1, shared=shared)
+        assert int(jnp.sum(r1.status > 0)) == Bn
+        assert bool(jnp.all(r0.S == r1.S))
+        np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                                   atol=5e-6)
