@@ -13,7 +13,11 @@ matrix:
      available device mesh with psum convergence stats (65k instances on a
      pod; scaled to the local device count here)
 
-Usage: python bench_suite.py [1|2|3|4|5|6 ...|all]  (any subset, in order)
+  6  competitor columns (scipy SLSQP / HiGHS) + quantile accuracy
+  7  reference-dataset protocol (Ungil-structure N=14, SP500-scale N=263)
+  8  scale sweep: N=512/N=1024 frontier throughput + N=512 refined tier
+
+Usage: python bench_suite.py [1|2|3|4|5|6|7|8 ...|all]  (any subset, in order)
 
 Measurement hygiene: every timed repetition uses fresh problem data and
 materializes results (the TPU runtime memoizes identical dispatches).
@@ -719,10 +723,113 @@ def config7():
               "abs")
 
 
+def config8():
+    """Scale sweep: dense frontier throughput at N=512 and N=1024 (headline
+    protocol — waves=8, chained dispatch), plus the batched refined tier at
+    N=512 (f32 search + f64 refine, the recipe for when the raw f32 search's
+    ~1e-6 gap at these sizes is not enough)."""
+    import dataclasses
+
+    from ssqp_tpu.types import Settings, make_qp
+    from ssqp_tpu.parallel.batch import (
+        frontier_batch, solve_qp_batch_refined, solve_qp_batch_waves,
+    )
+
+    s = Settings.for_dtype(jnp.float32)
+
+    def run_scale(N, batch, reps=2):
+        V, mu = _market(N)
+        Q = make_qp(V, mu, u=np.full(N, 4.0 / N, np.float32),
+                    dtype=np.float32)
+        Qb0, shared = frontier_batch(
+            Q, jnp.linspace(0.0, 2.0, batch, dtype=jnp.float32))
+        Qb0 = jax.device_put(Qb0)
+
+        @jax.jit
+        def chained(Qbig):
+            def body(i, acc):
+                F, ST = acc
+                Qb = dataclasses.replace(Qb0, q=Qbig[i])
+                r = solve_qp_batch_waves(Qb, s, shared, waves=8)
+                f = 0.5 * jnp.einsum("bi,ij,bj->b", r.x, Qb0.V, r.x) \
+                    + jnp.sum(Qb.q * r.x, axis=1)
+                return (F.at[i].set(f), ST.at[i].set(r.status))
+            return jax.lax.fori_loop(
+                0, reps, body,
+                (jnp.zeros((reps, batch), jnp.float32),
+                 jnp.zeros((reps, batch), jnp.int32)))
+
+        warm = jax.device_put(jnp.broadcast_to(Qb0.q, (reps,) + Qb0.q.shape))
+        np.asarray(warm.sum())
+        np.asarray(chained(warm)[1])
+        Qbig = jax.device_put(jnp.stack([
+            frontier_batch(Q, jnp.linspace(
+                0.001 * (1 + i), 2.0 + 0.001 * (1 + i), batch,
+                dtype=jnp.float32))[0].q
+            for i in range(reps)
+        ]))
+        np.asarray(Qbig.sum())
+        t0 = time.perf_counter()
+        F, ST = chained(Qbig)
+        ST = np.asarray(ST)
+        _ = np.asarray(F)
+        qps = batch / ((time.perf_counter() - t0) / reps)
+        print(f"config8 N={N} solved {int((ST > 0).sum())}/{reps * batch}",
+              file=sys.stderr)
+        _emit(f"frontier_n{N}_batch{batch}_waves_qps", qps, "QP/s")
+
+    run_scale(512, 2048)
+    run_scale(1024, 1024)
+
+    # refined tier at N=512: f64 problem, f32 combinatorial search, f64
+    # refinement sweeps — objective gap certifies ~1e-10 vs full-f64 refs
+    # (measured; xinf stays ~1e-5 in the frontier's flat directions, where
+    # the objective is insensitive — see CLAUDE.md scale-sweep notes)
+    N, batch, reps = 512, 512, 2
+    V, mu = _market(N, dtype=np.float64)
+    Q = make_qp(V, mu, u=np.full(N, 4.0 / N), dtype=np.float64)
+    Qb0, shared = frontier_batch(
+        Q, jnp.linspace(0.0, 2.0, batch, dtype=jnp.float64))
+    Qb0 = jax.device_put(Qb0)
+
+    @jax.jit
+    def chained_ref(Qbig):
+        def body(i, acc):
+            F, ST = acc
+            Qb = dataclasses.replace(Qb0, q=Qbig[i])
+            r = solve_qp_batch_refined(Qb, search_dtype=jnp.float32,
+                                       shared=shared)
+            f = 0.5 * jnp.einsum("bi,ij,bj->b", r.x, Qb0.V, r.x) \
+                + jnp.sum(Qb.q * r.x, axis=1)
+            return (F.at[i].set(f), ST.at[i].set(r.status))
+        return jax.lax.fori_loop(
+            0, reps, body,
+            (jnp.zeros((reps, batch), jnp.float64),
+             jnp.zeros((reps, batch), jnp.int32)))
+
+    warm = jax.device_put(jnp.broadcast_to(Qb0.q, (reps,) + Qb0.q.shape))
+    np.asarray(warm.sum())
+    np.asarray(chained_ref(warm)[1])
+    Qbig = jax.device_put(jnp.stack([
+        frontier_batch(Q, jnp.linspace(0.001 * (1 + i), 2.0 + 0.001 * (1 + i),
+                                       batch))[0].q
+        for i in range(reps)
+    ]))
+    np.asarray(Qbig.sum())
+    t0 = time.perf_counter()
+    F, ST = chained_ref(Qbig)
+    ST = np.asarray(ST)
+    _ = np.asarray(F)
+    qps = batch / ((time.perf_counter() - t0) / reps)
+    print(f"config8 refined N={N} solved {int((ST > 0).sum())}"
+          f"/{reps * batch}", file=sys.stderr)
+    _emit(f"refined_n{N}_batch{batch}_qps", qps, "QP/s")
+
+
 def main():
     which = sys.argv[1:] if len(sys.argv) > 1 else ["all"]
     configs = {"1": config1, "2": config2, "3": config3, "4": config4,
-               "5": config5, "6": config6, "7": config7}
+               "5": config5, "6": config6, "7": config7, "8": config8}
     if "all" in which:
         which = sorted(configs)
     for k in which:
