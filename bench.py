@@ -125,13 +125,25 @@ def main():
     c2f = int(os.environ.get("BENCH_C2F", "0"))
     if batch % max(c2f, 1):
         c2f = 0
+    # BENCH_COMPACT=<k> routes the cold identification through the batch-
+    # level static-width PDAS compaction (C = width // k; 0 = off)
+    compact = int(os.environ.get("BENCH_COMPACT", "0"))
+    # BENCH_TAIL=<k> adds the worst-residual tail refinement (top B//k
+    # instances get f64-residual CG sweeps; the N>=512 <1e-6 objgap recipe)
+    tail = int(os.environ.get("BENCH_TAIL", "0"))
 
     @jax.jit
     def chained(Qbig):
         def body(i, acc):
             F, ST = acc
             Qb = dataclasses.replace(Qb0, q=Qbig[i])
-            if c2f > 1:
+            if tail > 0:
+                from ssqp_tpu.parallel.batch import solve_qp_batch_tail_refined
+
+                res = solve_qp_batch_tail_refined(
+                    Qb, settings, shared, waves=waves, tail=tail,
+                    compact=compact)
+            elif c2f > 1:
                 from ssqp_tpu.parallel.batch import solve_qp_batch_c2f
 
                 res = solve_qp_batch_c2f(Qb, settings, shared, coarse=c2f)
@@ -141,7 +153,13 @@ def main():
                 # frontier warm-start trick (SSQPspeed.jl), batched
                 from ssqp_tpu.parallel.batch import solve_qp_batch_waves
 
-                res = solve_qp_batch_waves(Qb, settings, shared, waves=waves)
+                res = solve_qp_batch_waves(Qb, settings, shared, waves=waves,
+                                           compact=compact)
+            elif compact > 0:
+                from ssqp_tpu.parallel.batch import solve_qp_batch_compact
+
+                res = solve_qp_batch_compact(Qb, settings, shared=shared,
+                                             compact=compact)
             else:
                 res = solve_qp_batch(Qb, settings, shared=shared)
             f = 0.5 * jnp.einsum("bi,ij,bj->b", res.x, Qb0.V, res.x) + jnp.sum(
@@ -178,7 +196,13 @@ def main():
     # untimed re-solve of the last grid for the accuracy audit — through the
     # SAME code path the timed region measured (waves when waves > 1), so the
     # accuracy claim certifies the protocol that produced the throughput
-    if c2f > 1:
+    if tail > 0:
+        from ssqp_tpu.parallel.batch import solve_qp_batch_tail_refined
+
+        res = solve_qp_batch_tail_refined(
+            dataclasses.replace(Qb0, q=Qbig[reps - 1]), settings, shared,
+            waves=waves, tail=tail, compact=compact)
+    elif c2f > 1:
         from ssqp_tpu.parallel.batch import solve_qp_batch_c2f
 
         res = solve_qp_batch_c2f(

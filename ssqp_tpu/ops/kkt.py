@@ -461,6 +461,69 @@ def kkt_solve_cg(V, q, AG, bg, z, free, keep, cg_iters, rtol,
     return (res, sol) if return_sol else res
 
 
+def kkt_solve_rhs_cg(V, AG, free, keep, r1, r2, cg_iters, rtol,
+                     ok_rtol=1e-3, ridge=0.0, x0=None, return_sol=False):
+    """Solve the fixed-active-set KKT system with an EXPLICIT right-hand side
+    (factorization-free block elimination, same padded operator as
+    :func:`kkt_solve_cg`).
+
+    The system is the one solvers/refine.py assembles densely
+    (`_kkt_matrix`): with ``f`` the free mask and ``k`` the kept-row mask,
+
+        free rows:      (V dx)_i + (AG' (k .* dl))_i = r1_i
+        bound rows:      dx_i                        = r1_i
+        kept rows:      (AG dx)_j                    = r2_j
+        non-kept rows:   dl_j                        = r2_j
+
+    Solving it against a HIGH-PRECISION residual of that same system is one
+    iterative-refinement sweep — without ever materializing or factoring the
+    (N+R)^2 matrix (the refined-tier throughput cliff the dense LU caused;
+    reference accuracy bar: native-f64 solves, types.jl:390-408). The
+    correction CG warm-starts from ``x0`` exactly like :func:`kkt_solve_cg`
+    (the ``mT = Vp^{-1} Ap'`` columns are sweep-invariant, so sweeps 2+ only
+    re-converge the single residual column).
+
+    Returns ``(dx, dl, ok)`` (and the raw CG solution when ``return_sol``).
+    """
+    dtype = V.dtype
+    fm = free.astype(dtype)
+    bm = 1.0 - fm
+    km = keep.astype(dtype)
+
+    dxB = bm * r1  # bound coordinates are identity rows
+    r1p = fm * (r1 - V @ dxB)
+    r2p = km * (r2 - AG @ dxB) if AG.shape[0] else r2
+
+    if AG.shape[0] == 0:
+        sol, rel = cg_solve_padded(V, fm, r1p[:, None], cg_iters, rtol, X0=x0)
+        dxF = sol[:, 0]
+        dl = jnp.zeros((0,), dtype)
+        relmax = jnp.max(rel, initial=0.0)
+    else:
+        Ap = AG * (km[:, None] * fm[None, :])
+        rhs = jnp.concatenate([r1p[:, None], Ap.T], axis=1)
+        sol, rel = cg_solve_padded(V, fm, rhs, cg_iters, rtol, X0=x0)
+        relmax = jnp.max(rel, initial=0.0)
+        w, mT = sol[:, 0], sol[:, 1:]
+        C = Ap @ mT
+        C = (C + C.T) / 2 + jnp.diag((1.0 - km) + ridge * km)
+        rhsC = Ap @ w - r2p
+        dlk = spd_solve(C, rhsC)
+        dxF = w - mT @ dlk
+        dl = km * dlk + (1.0 - km) * r2
+        rS = C @ dlk - rhsC
+        sS = 1.0 + jnp.max(jnp.abs(rhsC), initial=0.0)
+        relmax = jnp.maximum(relmax, jnp.max(jnp.abs(rS), initial=0.0) / sS)
+
+    dx = fm * dxF + dxB
+    ok = (
+        jnp.all(jnp.isfinite(dx))
+        & jnp.all(jnp.isfinite(dl))
+        & (relmax < ok_rtol)
+    )
+    return (dx, dl, ok, sol) if return_sol else (dx, dl, ok)
+
+
 def kkt_allfree_shared(V, W, q, AG, bg, keep, ridge):
     """All-free KKT solve through a precomputed ``W ~= V^{-1}``.
 

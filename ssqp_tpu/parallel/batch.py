@@ -131,6 +131,111 @@ def _solve_qp_batch_nodual(Q: QP, settings: Settings, shared: tuple = ()):
     )(Q)
 
 
+@partial(jax.jit,
+         static_argnames=("settings", "shared", "waves", "tail", "iters",
+                          "compact"))
+@highest_matmul
+def solve_qp_batch_tail_refined(
+    Q: QP, settings: Settings, shared: tuple = (), waves: int = 0,
+    tail: int = 16, iters: int = 2, compact: int = 0,
+) -> Result:
+    """Batch solve + selective refinement of the worst-residual tail.
+
+    At N>=512 the f32 search's worst-instance objective gap brushes past the
+    1e-6 audit line (round-3 scale sweep: 1.08e-6 at N=512, 1.23e-6 at
+    N=1024) — an artifact of f32 KKT solve accuracy, not of the identified
+    active set. Rather than paying the full refined tier, this re-polishes
+    only the ``B // tail`` instances with the worst float64 KKT residual
+    (stationarity + primal, evaluated with the attached duals): gather,
+    ``iters`` factorization-free f64-residual sweeps
+    (solvers/refine.py::refine_result_cg with exact_sweeps), scatter.
+    All shapes static. Requires x64 for the f64 residuals (degrades to a
+    no-op-accuracy polish without it). Reference accuracy bar: native
+    tol=2^-26 solves at every size (types.jl:390-408).
+    """
+    from ssqp_tpu.solvers.refine import refine_result_cg
+
+    settings = settings_for_shared(settings, shared)
+    if waves > 1:
+        res = solve_qp_batch_waves(Q, settings, shared, waves=waves,
+                                   compact=compact)
+    elif compact > 0:
+        res = solve_qp_batch_compact(Q, settings, shared=shared,
+                                     compact=compact)
+    else:
+        res = solve_qp_batch(Q, settings, shared=shared)
+
+    B = res.x.shape[0]
+    K = max(B // max(tail, 1), 1)
+    N, M, J = Q.N, Q.M, Q.J
+    hi = jnp.float64 if jax.config.jax_enable_x64 else Q.V.dtype
+    ax = qp_axes(Q, shared)
+
+    def resid_one(p, r):
+        x = r.x.astype(hi)
+        AG = (jnp.concatenate([p.A, p.G], axis=0) if J > 0 else p.A).astype(hi)
+        stat = p.V.astype(hi) @ x + p.q.astype(hi) + AG.T @ r.lam.astype(hi) \
+            - r.gamma.astype(hi)
+        e = jnp.max(jnp.abs(stat)) / (1.0 + jnp.max(jnp.abs(p.q.astype(hi))))
+        if M > 0:
+            e = jnp.maximum(
+                e, jnp.max(jnp.abs(p.A.astype(hi) @ x - p.b.astype(hi))))
+        if J > 0:
+            e = jnp.maximum(
+                e, jnp.max(p.G.astype(hi) @ x - p.g.astype(hi)))
+        # failed instances are not refinable on their labeled set
+        return jnp.where(r.status > 0, e, -jnp.inf)
+
+    resid = jax.vmap(resid_one, in_axes=(ax, Result(0, 0, 0, 0, 0)))(Q, res)
+    idx = jnp.argsort(-resid)[:K]
+
+    batched_fields = tuple(
+        f for f in ("V", "A", "G", "q", "b", "g", "d", "u")
+        if f not in shared)
+    import dataclasses
+
+    Qk = dataclasses.replace(
+        Q, **{f: getattr(Q, f)[idx] for f in batched_fields})
+    rk = Result(res.x[idx], res.S[idx], res.status[idx])
+    ax_k = qp_axes(Qk, shared)
+    rr = jax.vmap(
+        lambda p, r: refine_result_cg(p, r, settings, iters,
+                                      with_duals=False, exact_sweeps=True),
+        in_axes=(ax_k, Result(0, 0, 0)),
+    )(Qk, rk)
+    x = res.x.at[idx].set(rr.x.astype(Q.V.dtype))
+    return Result(x, res.S, res.status, res.lam, res.gamma)
+
+
+@partial(jax.jit, static_argnames=("settings", "shared", "compact"))
+@highest_matmul
+def solve_qp_batch_compact(
+    Q: QP, settings: Settings, shared: tuple = (), compact: int = 4
+) -> Result:
+    """Batched auto solve with batch-level compacted PDAS identification
+    (solvers/ssqp.py::_guess_start_batch): identification rounds where at
+    most B/compact instances are still changing gather them into a fixed
+    C-column buffer instead of paying full-width GEMMs. Semantics identical
+    to :func:`solve_qp_batch` (same rounds per instance, same validation
+    and fallbacks, duals attached)."""
+    from ssqp_tpu.solvers.ssqp import (
+        _attach_duals, _guess_start_batch, solve_qp_auto_core,
+    )
+
+    settings = settings_for_shared(settings, shared)
+    if not settings.multi_free:
+        # the PDAS guess stage only exists on the multi-free path
+        return solve_qp_batch(Q, settings, shared)
+    guess = _guess_start_batch(Q, settings, shared=shared, compact=compact)
+    ax = qp_axes(Q, shared)
+
+    def one(p, zg, sx, se, so):
+        r = solve_qp_auto_core(p, settings, guess=(zg, sx, se, so))
+        return _attach_duals(p, r, settings)
+
+    return jax.vmap(one, in_axes=(ax, 0, 0, 0, 0))(Q, *guess)
+
+
 def solve_lp_batch_cclp_rescued(
     P: LP, settings: Settings, shared: tuple = ()
 ) -> Result:
@@ -191,10 +296,11 @@ def solve_lp_batch_cclp_rescued(
                   None if gam is None else jnp.asarray(gam))
 
 
-@partial(jax.jit, static_argnames=("settings", "shared", "waves"))
+@partial(jax.jit, static_argnames=("settings", "shared", "waves", "compact"))
 @highest_matmul
 def solve_qp_batch_waves(
-    Q: QP, settings: Settings, shared: tuple, waves: int = 8
+    Q: QP, settings: Settings, shared: tuple, waves: int = 8,
+    compact: int = 0,
 ) -> Result:
     """Wave-parallel warm solve of a q-only batch (frontier grids).
 
@@ -213,9 +319,15 @@ def solve_qp_batch_waves(
     Requires every leaf except ``q`` shared (asserted): warm-start validity
     depends on it. Per-instance safety: a failed wave solve keeps the last
     good carry for the next wave (like models/frontier.py's sweeps).
+
+    ``compact > 0`` routes wave 0's PDAS identification through the
+    batch-level static-width compaction (solvers/ssqp.py::_guess_start_batch
+    with C = wave_size // compact) — late identification rounds then pay
+    GEMM width only for the instances still changing.
     """
     from ssqp_tpu.solvers.ssqp import (
         _attach_duals,
+        _guess_start_batch,
         solve_qp_auto_core,
         solve_qp_warm2,
     )
@@ -235,9 +347,17 @@ def solve_qp_batch_waves(
     # pass over the merged result: per-wave attachment would pay the
     # sequential CG latency of _attach_duals `waves` times instead of once
     # (the attach work is per-instance independent, so moving it is exact).
-    r0, sol0 = jax.vmap(
-        lambda p: solve_qp_auto_core(p, settings, return_sol=True),
-        in_axes=(ax,))(with_q(qg[0]))
+    if compact > 0:
+        Q0 = with_q(qg[0])
+        g0 = _guess_start_batch(Q0, settings, shared=shared, compact=compact)
+        r0, sol0 = jax.vmap(
+            lambda p, zg, sx, se, so: solve_qp_auto_core(
+                p, settings, return_sol=True, guess=(zg, sx, se, so)),
+            in_axes=(ax, 0, 0, 0, 0))(Q0, *g0)
+    else:
+        r0, sol0 = jax.vmap(
+            lambda p: solve_qp_auto_core(p, settings, return_sol=True),
+            in_axes=(ax,))(with_q(qg[0]))
     carry0 = (r0.S[:, :Q.N], r0.S[:, Q.N:], r0.x, sol0)
 
     def step(carry, qk):
@@ -378,6 +498,7 @@ def solve_qp_batch_refined(
     iters: int = 2,
     search_dtype=None,
     shared: tuple = (),
+    method: str = "cg",
 ) -> Result:
     """Batched high-accuracy solve: fast-dtype active-set search + per-instance
     iterative refinement of the final KKT system against the full-precision
@@ -388,9 +509,16 @@ def solve_qp_batch_refined(
     Dual certificates are not derived (the search stage skips the
     per-instance dual attachment entirely — its lam/gamma would be discarded
     by the refinement); call ``recover_duals`` on the output if needed.
-    """
-    from ssqp_tpu.solvers.refine import refine_result
 
+    ``method="cg"`` (default) refines through the factorization-free padded
+    CG (refine_result_cg) — batched, the LU path pays a per-instance
+    (N+M+J)^2 factorization that made the refined tier ~140x slower than the
+    f32 search at N=512 (round-3 cliff); the CG sweeps collapse to shared
+    GEMMs on shared-V batches. ``method="lu"`` keeps the dense-factor path.
+    """
+    from ssqp_tpu.solvers.refine import refine_result, refine_result_cg
+
+    refine = refine_result_cg if method == "cg" else refine_result
     settings = settings or Settings.for_dtype(Q.V.dtype)
     if search_dtype is not None and jnp.dtype(search_dtype) != Q.V.dtype:
         Qs = jax.tree.map(lambda a: a.astype(search_dtype), Q)
@@ -401,7 +529,7 @@ def solve_qp_batch_refined(
     res = Result(res.x.astype(Q.V.dtype), res.S, res.status)
     ax = qp_axes(Q, shared)
     return jax.vmap(
-        lambda p, r: refine_result(p, r, settings, iters, with_duals=False),
+        lambda p, r: refine(p, r, settings, iters, with_duals=False),
         in_axes=(ax, Result(0, 0, 0)),
     )(Q, res)
 

@@ -197,17 +197,26 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2,
     s64, resid = jax.lax.scan(sweep64, s.astype(hi), None, length=n_sweeps)
     x_ref = s64[:N]
 
-    # Acceptance guard: the refined point solves the LABELED active set
-    # exactly, so a single borderline mislabeled row (polish snaps statuses
-    # within tol) can displace it far from the optimum — and an
-    # ill-conditioned f32 factor can stall the sweeps at a point that UNDER-
-    # satisfies the constraints while "improving" the objective by cheating
-    # feasibility (observed: 3e-5 equality violation buying a lower f).
-    # Accept only if the refined point does not worsen the objective AND
-    # does not DEGRADE primal feasibility beyond the searched point's own
-    # violation (floored at tol) — otherwise return the searched point.
+    return _refine_accept(Q, res, x_ref, settings, hi, free, with_duals)
+
+
+def _refine_accept(Q: QP, res: Result, x_ref, settings: Settings, hi, free,
+                   with_duals: bool) -> Result:
+    """Acceptance guard shared by the LU and CG refinement paths.
+
+    The refined point solves the LABELED active set
+    exactly, so a single borderline mislabeled row (polish snaps statuses
+    within tol) can displace it far from the optimum — and an
+    ill-conditioned f32 factor can stall the sweeps at a point that UNDER-
+    satisfies the constraints while "improving" the objective by cheating
+    feasibility (observed: 3e-5 equality violation buying a lower f).
+    Accept only if the refined point does not worsen the objective AND
+    does not DEGRADE primal feasibility beyond the searched point's own
+    violation (floored at tol) — otherwise return the searched point.
+    """
     from ssqp_tpu.solvers.ssqp import _primal_violation
 
+    N, M, J = Q.N, Q.M, Q.J
     x_old = res.x.astype(hi)
     V64 = Q.V.astype(hi)
     q64 = Q.q.astype(hi)
@@ -243,6 +252,108 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2,
         lam, gam = recover_duals(Q.V, Q.q, AGd, out.x, free, actd)
         out = Result(out.x, out.S, out.status, lam, gam)
     return out
+
+
+@partial(jax.jit,
+         static_argnames=("settings", "iters", "with_duals", "exact_sweeps"))
+@highest_matmul
+def refine_result_cg(Q: QP, res: Result, settings: Settings, iters: int = 6,
+                     with_duals: bool = True, exact_sweeps: bool = False):
+    """Factorization-free twin of :func:`refine_result` — iterative
+    refinement through the padded-operator CG (:func:`ops.kkt.kkt_solve_rhs_cg`)
+    instead of a dense (N+R)^2 LU.
+
+    This is the batched refined tier's throughput path: vmapping
+    :func:`refine_result` pays a per-instance LU of the (N+M+J)^2 KKT matrix
+    (the 600x cliff vs the f32 search recorded in round 3 — 367 vs 51.5k
+    N=512 QP/s). Here each sweep is (a) one high-precision residual of the
+    fixed-active-set KKT system — a handful of matvecs that collapse to
+    shared GEMMs on shared-V frontier batches — and (b) one f32 CG correction
+    solve whose multi-RHS carry warm-starts across sweeps (the mT columns are
+    sweep-invariant, so sweeps 2+ re-converge only the residual column).
+    Accuracy recipe unchanged: correct low, residual high (float64), same
+    acceptance guard, same purge policy (reference accuracy bar:
+    native-precision solves at tol 2^-26, types.jl:390-408).
+    """
+    from ssqp_tpu.ops.kkt import kkt_solve_rhs_cg
+    from ssqp_tpu.ops.masked_gj import select_purge
+
+    N, M, J = Q.N, Q.M, Q.J
+    dtype = Q.V.dtype
+    Sx = res.S[:N]
+    free = Sx == IN
+    z = jnp.where(Sx == DN, Q.d, jnp.where(Sx == UP, Q.u, res.x))
+
+    act = (jnp.concatenate([jnp.ones((M,), bool), res.S[N:] == EO])
+           if J > 0 else jnp.ones((M,), bool))
+    AGf = (jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A)
+    bgf = (jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b)
+    fm = free.astype(dtype)
+    # CG work dtype mirrors refine_result's factor dtype: f32 off-CPU (all
+    # the accuracy comes from the high-precision residuals), native on CPU.
+    fac_dtype = dtype if jax.default_backend() == "cpu" else jnp.float32
+    # same kept-rows decision as refine_result (purge is a rank decision in
+    # the factor dtype; tol floored at the f32 tier when downcast)
+    bE = bgf - AGf @ (z * (1 - fm))
+    Ap = (AGf * fm[None, :]).astype(fac_dtype)
+    bp = bE.astype(fac_dtype)
+    tol_p = (max(float(settings.tol), 2.0**-16)
+             if jnp.dtype(fac_dtype) == jnp.float32 else settings.tol)
+    keep, _, _ = select_purge(settings.pivot, M + J)(Ap, bp, act, tol_p)
+
+    hi = jnp.float64 if jax.config.jax_enable_x64 else dtype
+    V_hi = Q.V.astype(hi)
+    q_hi = Q.q.astype(hi)
+    AG_hi = AGf.astype(hi)
+    bg_hi = bgf.astype(hi)
+    fm_hi = fm.astype(hi)
+    km_hi = keep.astype(hi)
+    z_hi = z.astype(hi)
+    rhs1 = jnp.where(free, -q_hi, z_hi)
+    rhs2 = km_hi * bg_hi
+
+    Vf = Q.V.astype(fac_dtype)
+    AGc = AGf.astype(fac_dtype)
+    R = M + J
+    # CG budget in the work dtype's tier (settings may be the f64 tier while
+    # the corrections run in f32 off-CPU)
+    if jnp.dtype(fac_dtype) == jnp.float32:
+        cg_iters, cg_rtol = max(settings.cg_iters, 96), 1e-7
+    else:
+        cg_iters, cg_rtol = settings.cg_iters, settings.cg_rtol
+
+    x0 = fm_hi * res.x.astype(hi) + (1.0 - fm_hi) * z_hi
+    lam0 = jnp.zeros((R,), hi)
+    sol0 = jnp.zeros((N, 1 + R), fac_dtype)
+
+    def sweep(carry, _):
+        x, lam, sol = carry
+        # high-precision residual of the fixed-active-set KKT system
+        r1 = rhs1 - (fm_hi * (V_hi @ x + AG_hi.T @ (km_hi * lam))
+                     + (1.0 - fm_hi) * x)
+        if R > 0:
+            r2 = rhs2 - (km_hi * (AG_hi @ x) + (1.0 - km_hi) * lam)
+        else:
+            r2 = jnp.zeros((0,), hi)
+        dx, dl, _ok, sol = kkt_solve_rhs_cg(
+            Vf, AGc, free, keep, r1.astype(fac_dtype), r2.astype(fac_dtype),
+            cg_iters, cg_rtol, x0=sol, return_sol=True)
+        rmax = jnp.maximum(jnp.max(jnp.abs(r1), initial=0.0),
+                           jnp.max(jnp.abs(r2), initial=0.0))
+        return (x + dx.astype(hi), lam + dl.astype(hi), sol), rmax
+
+    # f32 corrections contract the error by ~max(cond*eps32, cg_rtol*cond)
+    # per sweep; a few more passes than the LU path's are cheap here (the
+    # warm-started CG converges in a handful of iterations after sweep 1).
+    # ``exact_sweeps`` runs exactly ``iters`` — the TAIL-refine recipe, which
+    # only needs the gap under the f32 audit line, not full f64 accuracy.
+    if exact_sweeps or jnp.dtype(fac_dtype) == jnp.dtype(hi):
+        n_sweeps = iters
+    else:
+        n_sweeps = max(iters, 6)
+    (x64, _, _), _ = jax.lax.scan(sweep, (x0, lam0, sol0), None,
+                                  length=n_sweeps)
+    return _refine_accept(Q, res, x64, settings, hi, free, with_duals)
 
 
 @partial(jax.jit, static_argnames=("s_search", "settings", "iters"))

@@ -538,7 +538,119 @@ def solve_qp(
     return solve_qp_warm2(Q, Sx0, Se0, x0, settings)
 
 
-def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
+def _pdas_update(Q: QP, fu, fd, Sx, Se, res):
+    """Semismooth-Newton status rebuild from a KKT candidate (shared by
+    the closed-form round 1 and the CG rounds; Hintermüller-Ito-Kunisch
+    update — see :func:`_guess_start`)."""
+    M = Q.M
+    alpha, gamma = res.alpha, res.gamma
+    free = Sx == IN
+    up = (free & fu & (alpha >= Q.u)) | ((Sx == UP) & (gamma <= 0))
+    dn = (free & fd & (alpha <= Q.d)) | ((Sx == DN) & (gamma >= 0))
+    Sx_new = jnp.where(up, UP, jnp.where(dn, DN, IN)).astype(jnp.int8)
+    if Q.J > 0:
+        # Inequality rows get the same semismooth update: activate
+        # rows the candidate violates, keep active rows whose
+        # multiplier sign is valid (mu >= 0, same convention as the
+        # S-loop's Lda check, SSQP.jl:149-172).
+        viol = Q.G @ alpha >= Q.g
+        muJ = res.alphaL[M:]
+        Se_new = jnp.where(
+            ((Se == OE) & viol) | ((Se == EO) & (muJ >= 0)), EO, OE
+        ).astype(jnp.int8)
+    else:
+        Se_new = Se
+    return Sx_new, Se_new, jnp.clip(alpha, Q.d, Q.u)
+
+
+def _pdas_round(Q: QP, settings: Settings, Sx, Se, sol,
+                W_loop=None, cheb_bounds=None):
+    """One PDAS identification round: KKT solve on the current pinned set
+    (CG, warm-started from ``sol``) + semismooth status rebuild. Extracted
+    from :func:`_guess_start`'s loop body so the batch-level compacted PDAS
+    (:func:`_guess_start_batch`) runs the IDENTICAL per-instance round on a
+    gathered sub-batch. Returns (Sx', Se', z', sol', changed)."""
+    N, M, J = Q.N, Q.M, Q.J
+    dtype = Q.V.dtype
+    AG = jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A
+    bg = jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b
+    cg_it = jnp.asarray(settings.pdas_cg_iters, jnp.int32)
+    fu = jnp.isfinite(Q.u)
+    fd = jnp.isfinite(Q.d)
+    ridge = jnp.asarray(100.0 * float(jnp.finfo(dtype).eps), dtype)
+    free = Sx == IN
+    keep = (
+        jnp.concatenate([jnp.ones((M,), bool), Se == EO])
+        if J > 0 else jnp.ones((M,), bool)
+    )
+    zb = jnp.where(Sx == UP, Q.u, jnp.where(Sx == DN, Q.d, 0.0))
+    res, sol = kkt_solve_cg(Q.V, Q.q, AG, bg, zb, free, keep,
+                            cg_it, settings.pdas_rtol, ridge=ridge,
+                            x0=sol, return_sol=True, W=W_loop,
+                            cheb=cheb_bounds)
+    Sx_new, Se_new, z_new = _pdas_update(Q, fu, fd, Sx, Se, res)
+    changed = jnp.any(Sx_new != Sx) | jnp.any(Se_new != Se)
+    return Sx_new, Se_new, z_new, sol, changed
+
+
+def _pdas_shared_W(V, settings: Settings):
+    """One-time shared ``W ~= V^{-1}`` for the PDAS closed-form round 1
+    (plus optional Chebyshev spectral bounds). Hoisted out of `vmap` on
+    shared-V batches — the whole point of Settings.pdas_precond."""
+    from jax.scipy.linalg import cho_solve, cholesky as _chol
+
+    dtype = V.dtype
+    N = V.shape[0]
+    eye = jnp.eye(N, dtype=dtype)
+    # W only preconditions/identifies — a small spectral shift keeps the
+    # Cholesky stable on merely-PSD V without hurting sign decisions.
+    scale = jnp.maximum(jnp.mean(jnp.diag(V)), jnp.asarray(1.0, dtype))
+    Lw = _chol(V + (100.0 * float(jnp.finfo(dtype).eps)) * scale * eye,
+               lower=True)
+    W = cho_solve((Lw, True), eye)
+    cheb_bounds = None
+    if settings.pdas_cheb:
+        # One-time shared spectral interval for the Chebyshev rounds
+        # (reduction-free loop body — see ops/kkt.py::_vp_cheb_xla).
+        # Valid for every pin mask by Cauchy interlacing; hoists out of
+        # vmap on shared-V batches like W itself.
+        from ssqp_tpu.ops.kkt import shared_jacobi_bounds
+
+        cheb_bounds = shared_jacobi_bounds(V, W)
+    return W, cheb_bounds
+
+
+def _pdas_round1(Q: QP, settings: Settings, W, Sx0, Se0, z0, sol0):
+    """Closed-form PDAS round 1 through the shared ``W ~= V^{-1}``
+    (ops/kkt.py::kkt_allfree_shared). From the all-IN start the KKT system
+    is the unmasked equality solve, shared across an instance batch except
+    for the linear terms. Returns the updated (it, Sx, Se, z, sol) carry —
+    unchanged (it=0) when the shifted Cholesky produced non-finite
+    candidates, so the CG loop starts cold instead of poisoned."""
+    N, M, J = Q.N, Q.M, Q.J
+    dtype = Q.V.dtype
+    AG = jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A
+    bg = jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b
+    fu = jnp.isfinite(Q.u)
+    fd = jnp.isfinite(Q.d)
+    ridge = jnp.asarray(100.0 * float(jnp.finfo(dtype).eps), dtype)
+    keep0 = (
+        jnp.concatenate([jnp.ones((M,), bool), jnp.zeros((J,), bool)])
+        if J > 0 else jnp.ones((M,), bool)
+    )
+    res1, sol1 = kkt_allfree_shared(Q.V, W, Q.q, AG, bg, keep0, ridge)
+    Sx1, Se1, z1 = _pdas_update(Q, fu, fd, Sx0, Se0, res1)
+    good = res1.ok
+    Sx = jnp.where(good, Sx1, Sx0)
+    Se = jnp.where(good, Se1, Se0)
+    z = jnp.where(good, z1, z0)
+    sol = jnp.where(good, sol1, sol0)
+    it = jnp.where(good, 1, 0).astype(jnp.int32)
+    return it, Sx, Se, z, sol
+
+
+def _guess_start(Q: QP, settings: Settings, rounds: int = 12,
+                 return_state: bool = False):
     """Active-set guess by primal-dual active-set (PDAS) identification.
 
     Each round solves the equality-constrained QP with the current pinned
@@ -575,49 +687,16 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
     dtype = Q.V.dtype
     AG = jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A
     bg = jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b
-    cg_it = jnp.asarray(settings.pdas_cg_iters, jnp.int32)
     fu = jnp.isfinite(Q.u)
     fd = jnp.isfinite(Q.d)
     # Heuristic-only regularization (see docstring); scaled well above
     # dtype eps so the f32 Schur solve stays stably invertible.
     ridge = jnp.asarray(100.0 * float(jnp.finfo(dtype).eps), dtype)
 
-    def _update(Sx, Se, res):
-        """Semismooth-Newton status rebuild from a KKT candidate (shared by
-        the closed-form round 1 and the CG rounds)."""
-        alpha, gamma = res.alpha, res.gamma
-        free = Sx == IN
-        up = (free & fu & (alpha >= Q.u)) | ((Sx == UP) & (gamma <= 0))
-        dn = (free & fd & (alpha <= Q.d)) | ((Sx == DN) & (gamma >= 0))
-        Sx_new = jnp.where(up, UP, jnp.where(dn, DN, IN)).astype(jnp.int8)
-        if J > 0:
-            # Inequality rows get the same semismooth update: activate
-            # rows the candidate violates, keep active rows whose
-            # multiplier sign is valid (mu >= 0, same convention as the
-            # S-loop's Lda check, SSQP.jl:149-172).
-            viol = Q.G @ alpha >= Q.g
-            muJ = res.alphaL[M:]
-            Se_new = jnp.where(
-                ((Se == OE) & viol) | ((Se == EO) & (muJ >= 0)), EO, OE
-            ).astype(jnp.int8)
-        else:
-            Se_new = Se
-        return Sx_new, Se_new, jnp.clip(alpha, Q.d, Q.u)
-
     def round_body(carry):
         it, Sx, Se, z, sol, _ = carry
-        free = Sx == IN
-        keep = (
-            jnp.concatenate([jnp.ones((M,), bool), Se == EO])
-            if J > 0 else jnp.ones((M,), bool)
-        )
-        zb = jnp.where(Sx == UP, Q.u, jnp.where(Sx == DN, Q.d, 0.0))
-        res, sol = kkt_solve_cg(Q.V, Q.q, AG, bg, zb, free, keep,
-                                cg_it, settings.pdas_rtol, ridge=ridge,
-                                x0=sol, return_sol=True, W=W_loop,
-                                cheb=cheb_bounds)
-        Sx_new, Se_new, z_new = _update(Sx, Se, res)
-        changed = jnp.any(Sx_new != Sx) | jnp.any(Se_new != Se)
+        Sx_new, Se_new, z_new, sol, changed = _pdas_round(
+            Q, settings, Sx, Se, sol, W_loop=W_loop, cheb_bounds=cheb_bounds)
         return it + 1, Sx_new, Se_new, z_new, sol, changed
 
     def round_cond(carry):
@@ -632,47 +711,145 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12):
     W_loop = None
     cheb_bounds = None
     if settings.pdas_precond:
-        from jax.scipy.linalg import cho_solve, cholesky as _chol
-
-        eye = jnp.eye(N, dtype=dtype)
-        # W only preconditions/identifies — a small spectral shift keeps the
-        # Cholesky stable on merely-PSD V without hurting sign decisions.
-        scale = jnp.maximum(jnp.mean(jnp.diag(Q.V)),
-                            jnp.asarray(1.0, dtype))
-        Lw = _chol(Q.V + (100.0 * float(jnp.finfo(dtype).eps)) * scale * eye,
-                   lower=True)
-        W = cho_solve((Lw, True), eye)
+        W, cheb_bounds = _pdas_shared_W(Q.V, settings)
         if settings.pdas_pcg:
             W_loop = W
-        if settings.pdas_cheb:
-            # One-time shared spectral interval for the Chebyshev rounds
-            # (reduction-free loop body — see ops/kkt.py::_vp_cheb_xla).
-            # Valid for every pin mask by Cauchy interlacing; hoists out of
-            # vmap on shared-V batches like W itself.
-            from ssqp_tpu.ops.kkt import shared_jacobi_bounds
-            cheb_bounds = shared_jacobi_bounds(Q.V, W)
-        keep0 = (
-            jnp.concatenate([jnp.ones((M,), bool), jnp.zeros((J,), bool)])
-            if J > 0 else jnp.ones((M,), bool)
-        )
-        res1, sol1 = kkt_allfree_shared(Q.V, W, Q.q, AG, bg, keep0, ridge)
-        Sx1, Se1, z1 = _update(Sx0, Se0, res1)
-        # A failed Cholesky (V not numerically PD even shifted) yields
-        # non-finite candidates: start the loop cold instead of poisoning
-        # its warm-start carry.
-        good = res1.ok
-        Sx0 = jnp.where(good, Sx1, Sx0)
-        Se0 = jnp.where(good, Se1, Se0)
-        z0 = jnp.where(good, z1, z0)
-        sol0 = jnp.where(good, sol1, sol0)
-        it0 = jnp.where(good, 1, 0).astype(jnp.int32)
-    _, Sx, Se, z, sol, _ = jax.lax.while_loop(
+        it0, Sx0, Se0, z0, sol0 = _pdas_round1(
+            Q, settings, W, Sx0, Se0, z0, sol0)
+    it, Sx, Se, z, sol, changed = jax.lax.while_loop(
         round_cond, round_body,
         (it0, Sx0, Se0, z0, sol0, jnp.asarray(True)),
     )
     # ``sol`` is the final round's raw CG solution: the S-loop's first
     # iteration solves (nearly) the same system at full accuracy, so it
     # warm-starts from here (solve_qp_auto_core passes it as sol0).
+    if return_state:
+        # (it, changed) expose the loop carry so _guess_start_batch can
+        # CONTINUE the identification from here at compacted width with the
+        # per-instance round budget intact.
+        return z, Sx, Se, sol, it, changed
+    return z, Sx, Se, sol
+
+
+def _guess_start_batch(Q: QP, settings: Settings, shared: tuple = (),
+                       rounds: int = 12, compact: int = 4):
+    """Batch-level PDAS identification with STATIC-WIDTH COMPACTION.
+
+    Runs exactly the per-instance rounds of :func:`_guess_start`
+    (:func:`_pdas_round1` + :func:`_pdas_round`), but scheduled at batch
+    level on ``(B, ...)`` arrays instead of per-instance `vmap`+`while`:
+
+      1. the closed-form round 1 and subsequent CG rounds run at full
+         width B while MORE than ``C = B // compact`` instances are still
+         changing;
+      2. once at most C instances are still changing, each step GATHERS
+         them (stable argsort of the active mask) into a fixed C-column
+         buffer, advances that sub-batch ONE round, and SCATTERS the
+         results back — all shapes static, so it stays jit/vmap-clean.
+
+    Rationale (the round-3 profile): PDAS identification is ~all of the
+    headline device time and its floor is sum-over-rounds(max-over-batch
+    CG iterations) — late rounds run full-width GEMMs for a handful of
+    still-changing instances. Compaction cuts the GEMM width by
+    ``compact``x exactly on those rounds. Per-instance semantics are
+    IDENTICAL to `vmap(_guess_start)`: each instance sees the same round
+    sequence, warm starts, and `rounds` budget (a vmapped while_loop
+    already masks converged instances — this just stops paying lanes for
+    them). Accelerates the reference's hot identification loop
+    (SSQP.jl:276-332) without changing its semantics.
+
+    Returns batched ``(z, Sx, Se, sol)`` like :func:`_guess_start`.
+    """
+    import dataclasses
+
+    from ssqp_tpu.parallel.batch import qp_axes, settings_for_shared
+
+    settings = settings_for_shared(settings, shared)
+    N, M, J = Q.N, Q.M, Q.J
+    dtype = Q.V.dtype
+    ax = qp_axes(Q, shared)
+    B = Q.q.shape[0]
+    C = max(B // max(compact, 1), 1)
+    R = M + J
+
+    Sx0 = jnp.full((B, N), IN, jnp.int8)
+    Se0 = jnp.full((B, J), OE, jnp.int8)
+    z0 = jnp.zeros((B, N), dtype)
+    sol0 = jnp.zeros((B, N, 1 + R), dtype)
+    it0 = jnp.zeros((B,), jnp.int32)
+
+    W_loop = None
+    cheb_bounds = None
+    if settings.pdas_precond:
+        # V is shared here (settings_for_shared guarantees it): W and the
+        # optional Chebyshev bounds are computed ONCE outside the vmap.
+        W, cheb_bounds = _pdas_shared_W(Q.V, settings)
+        if settings.pdas_pcg:
+            W_loop = W
+        it0, Sx0, Se0, z0, sol0 = jax.vmap(
+            lambda p, sx, se, zz, so: _pdas_round1(
+                p, settings, W, sx, se, zz, so),
+            in_axes=(ax, 0, 0, 0, 0),
+        )(Q, Sx0, Se0, z0, sol0)
+
+    vround = jax.vmap(
+        lambda p, sx, se, so: _pdas_round(
+            p, settings, sx, se, so, W_loop=W_loop, cheb_bounds=cheb_bounds),
+        in_axes=(ax, 0, 0, 0),
+    )
+
+    # the per-instance loop seeds changed=True, so round 1 never concludes
+    active0 = it0 < rounds
+
+    def full_body(carry):
+        it, Sx, Se, z, sol, active = carry
+        Sxn, Sen, zn, soln, ch = vround(Q, Sx, Se, sol)
+        upd = active[:, None]
+        Sx = jnp.where(upd, Sxn, Sx)
+        Se = jnp.where(upd, Sen, Se)
+        z = jnp.where(upd, zn, z)
+        sol = jnp.where(active[:, None, None], soln, sol)
+        it = it + active.astype(jnp.int32)
+        active = active & ch & (it < rounds)
+        return it, Sx, Se, z, sol, active
+
+    def full_cond(carry):
+        active = carry[-1]
+        return jnp.sum(active) > C
+
+    carry = jax.lax.while_loop(
+        full_cond, full_body, (it0, Sx0, Se0, z0, sol0, active0))
+
+    batched_fields = tuple(
+        f for f in ("V", "A", "G", "q", "b", "g", "d", "u")
+        if f not in shared)
+
+    def gather_Q(idx):
+        return dataclasses.replace(
+            Q, **{f: getattr(Q, f)[idx] for f in batched_fields})
+
+    def comp_body(carry):
+        it, Sx, Se, z, sol, active = carry
+        # stable sort puts still-active instances first; mask guards the
+        # scatter for the (rare) steps where fewer than C remain active
+        idx = jnp.argsort(~active)[:C]
+        mask = active[idx]
+        Sxn, Sen, zn, soln, ch = vround(gather_Q(idx), Sx[idx], Se[idx],
+                                        sol[idx])
+        mm = mask[:, None]
+        Sx = Sx.at[idx].set(jnp.where(mm, Sxn, Sx[idx]))
+        Se = Se.at[idx].set(jnp.where(mm, Sen, Se[idx]))
+        z = z.at[idx].set(jnp.where(mm, zn, z[idx]))
+        sol = sol.at[idx].set(jnp.where(mask[:, None, None], soln, sol[idx]))
+        it = it.at[idx].add(mask.astype(jnp.int32))
+        active = active.at[idx].set(mask & ch & (it[idx] < rounds))
+        return it, Sx, Se, z, sol, active
+
+    def comp_cond(carry):
+        return jnp.any(carry[-1])
+
+    it, Sx, Se, z, sol, active = jax.lax.while_loop(
+        comp_cond, comp_body, carry)
     return z, Sx, Se, sol
 
 
@@ -696,13 +873,17 @@ def _primal_feasible(Q: QP, x, ftol):
 
 def solve_qp_auto_core(
     Q: QP, settings: Settings, settings_lp: Optional[Settings] = None,
-    return_sol: bool = False,
+    return_sol: bool = False, guess=None,
 ) -> Result:
     """Three-stage auto solve, duals not attached (see :func:`solve_qp_auto`).
     Split out so internal callers (frontier rescue branches) get a Result
     whose pytree matches :func:`solve_qp_loop` outputs under `lax.cond`
     (``return_sol=False`` keeps that contract; True additionally returns the
-    exit KKT CG solution for grid protocols to carry, see solve_qp_warm2)."""
+    exit KKT CG solution for grid protocols to carry, see solve_qp_warm2).
+    ``guess`` optionally injects a precomputed PDAS identification
+    ``(z, Sx, Se, sol)`` — used by the batch-level compacted PDAS
+    (:func:`_guess_start_batch`), which runs the identification OUTSIDE the
+    per-instance vmap and hands each instance its slice here."""
     from ssqp_tpu.solvers.phase1 import init_qp_traced
 
     dtype = Q.V.dtype
@@ -717,7 +898,8 @@ def solve_qp_auto_core(
     # the clipped set IS the active set) or churns (tight bounds pin far too
     # much) — so give it a short budget and fail over quickly.
     guess_cap = min(cap, 16)
-    zg, Sxg, Seg, solg = _guess_start(Q, settings)
+    zg, Sxg, Seg, solg = guess if guess is not None else _guess_start(
+        Q, settings)
     rg, sol_g = solve_qp_loop(Q, Sxg, Seg, zg, settings,
                               mf_flag=True, max_iter=guess_cap,
                               cg_iters=settings.cg_iters, sol0=solg,
