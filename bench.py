@@ -112,24 +112,26 @@ def main():
     # both dev-harness artifacts a production host does not pay per batch
     # (see module docstring). The full x is still pulled (untimed) for the
     # accuracy audit below.
-    # Wave-parallel warm protocol (default ON, BENCH_WAVES=0 for plain vmap):
-    # the workload is a sorted frontier grid, so strided sub-batches warm-
-    # start from their grid neighbors — the reference's own frontier trick
-    # (SSQPspeed.jl warm sweeps), batched. Interleaved same-session A/B:
-    # waves=8 206-221k vs plain 167-175k N=256 QP/s, identical 9.5e-7 gap.
+    # Protocol selection: DEFAULT is the one auto entry point
+    # (parallel/batch.py::solve_qp_batch_auto), which applies the measured
+    # cost model — waves=8 iff the grid is q-only and B/8 >= 1024 (A/B:
+    # waves 206-238k vs plain 164-175k at N=256 B=8192; plain 60.6k vs
+    # waves 45.8k at N=512 B=2048), plus the worst-residual tail refinement
+    # at N >= 512 (restores <1e-6 objgap at <3% cost). Env overrides force
+    # a specific protocol for A/B work:
+    #   BENCH_WAVES=<w>   wave-parallel warm protocol (0 = plain vmap)
+    #   BENCH_C2F=<c>     coarse-to-fine warm variant
+    #   BENCH_COMPACT=<k> static-width compacted PDAS (C = width // k)
+    #   BENCH_TAIL=<k>    worst-residual tail refinement (top B//k)
+    auto = not ({"BENCH_WAVES", "BENCH_C2F", "BENCH_COMPACT", "BENCH_TAIL"}
+                & set(os.environ))
     waves = int(os.environ.get("BENCH_WAVES", "8"))
     if batch % max(waves, 1):
         waves = 0
-    # BENCH_C2F=<coarse> switches to the coarse-to-fine variant (one warm
-    # pass from nearest coarse anchor instead of sequential waves)
     c2f = int(os.environ.get("BENCH_C2F", "0"))
     if batch % max(c2f, 1):
         c2f = 0
-    # BENCH_COMPACT=<k> routes the cold identification through the batch-
-    # level static-width PDAS compaction (C = width // k; 0 = off)
     compact = int(os.environ.get("BENCH_COMPACT", "0"))
-    # BENCH_TAIL=<k> adds the worst-residual tail refinement (top B//k
-    # instances get f64-residual CG sweeps; the N>=512 <1e-6 objgap recipe)
     tail = int(os.environ.get("BENCH_TAIL", "0"))
 
     @jax.jit
@@ -137,7 +139,11 @@ def main():
         def body(i, acc):
             F, ST = acc
             Qb = dataclasses.replace(Qb0, q=Qbig[i])
-            if tail > 0:
+            if auto:
+                from ssqp_tpu.parallel.batch import solve_qp_batch_auto
+
+                res = solve_qp_batch_auto(Qb, settings, shared)
+            elif tail > 0:
                 from ssqp_tpu.parallel.batch import solve_qp_batch_tail_refined
 
                 res = solve_qp_batch_tail_refined(

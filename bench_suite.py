@@ -738,14 +738,17 @@ def config8():
 
     s = Settings.for_dtype(jnp.float32)
 
-    def run_scale(N, batch, reps=2, tail=16):
-        """Frontier throughput at scale. ``tail > 0`` = the shipping
-        protocol: waves + worst-residual tail refinement (f64-residual CG
-        sweeps on the top B//tail instances), which restores the <1e-6
+    def run_scale(N, batch, reps=2):
+        """Frontier throughput at scale through the ONE auto entry point
+        (solve_qp_batch_auto): the round-3/4 cost model picks plain vmap at
+        these widths (waves' per-wave latency floor loses below B/8 >= 1024
+        — measured at N=512 B=2048: plain 60.6k vs waves 45.8k QP/s) and
+        adds the worst-residual tail refinement that restores the <1e-6
         objective-gap bar the raw f32 search breaches at N>=512 (round-3
-        record: 1.08e-6 / 1.23e-6). The audit below certifies the SAME
-        protocol the timer measured, vs CPU f64 references."""
-        from ssqp_tpu.parallel.batch import solve_qp_batch_tail_refined
+        record: 1.08e-6 / 1.23e-6; round-4 with tail: 9.3e-7 / 8.8e-7 at
+        <3% cost). The audit below certifies the SAME protocol the timer
+        measured, vs CPU f64 references."""
+        from ssqp_tpu.parallel.batch import solve_qp_batch_auto
 
         V, mu = _market(N)
         Q = make_qp(V, mu, u=np.full(N, 4.0 / N, np.float32),
@@ -755,10 +758,7 @@ def config8():
         Qb0 = jax.device_put(Qb0)
 
         def solve(Qb):
-            if tail > 0:
-                return solve_qp_batch_tail_refined(Qb, s, shared, waves=8,
-                                                   tail=tail)
-            return solve_qp_batch_waves(Qb, s, shared, waves=8)
+            return solve_qp_batch_auto(Qb, s, shared)
 
         @jax.jit
         def chained(Qbig):
@@ -791,7 +791,7 @@ def config8():
         qps = batch / ((time.perf_counter() - t0) / reps)
         print(f"config8 N={N} solved {int((ST > 0).sum())}/{reps * batch}",
               file=sys.stderr)
-        tag = "tail" if tail > 0 else "waves"
+        tag = "auto"
         _emit(f"frontier_n{N}_batch{batch}_{tag}_qps", qps, "QP/s")
 
         # objective-gap audit of the protocol just timed (untimed re-solve

@@ -90,24 +90,36 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
         OH = (B[:, None] == arange[None, :]).astype(dtype)  # (R, Nt)
         A_B = A1 @ OH.T
         invB = st.invB
-        # TWO Newton refinement steps per iteration (vs simplex.py's one):
+        # THREE Newton refinement steps per iteration (vs simplex.py's one):
         # least-index pivots are not ratio-test-guarded, so criss-cross
         # routinely takes tiny pivots whose product-form update inflates the
-        # inverse error; each Newton step squares the error, so two steps
+        # inverse error; each Newton step squares the error. Two steps
         # restore tol-level accuracy from drift up to tol^(1/4) (~0.11 at
         # the f32 tier, vs 0.004 with one step — which made f32 solves at
         # N >= 24 exit -1 on a large fraction of instances).
         eyeR = jnp.eye(R, dtype=dtype)
         E = A_B @ invB
         invB = invB @ (2.0 * eyeR - E)
-        invB = invB @ (2.0 * eyeR - A_B @ invB)
+        E2 = A_B @ invB
+        invB = invB @ (2.0 * eyeR - E2)
+        # TRACED IN-LOOP RECOVERY (VERDICT r4 item 6): the gate used to trip
+        # on the PRE-refresh drift |E-I| > tol^(1/4), declaring -1 for
+        # instances the two refreshes had ALREADY repaired (quadratic
+        # contraction: e -> e^4 over two steps) — 19/512 of the f32 N=40
+        # config2 class died that way. Gate on the POST-two-refresh error
+        # instead, and spend a THIRD refresh (2 extra GEMMs — always
+        # executed, so it vmaps with no cond-both-branches penalty) so the
+        # gate threshold keeps a squared-contraction margin. A pre-refresh
+        # error e < ~0.5 now recovers natively (e^4 < 0.07 < tol^(1/4));
+        # only a genuinely non-contracting inverse (e >= 1) still exits -1.
+        # The host-side f64 rescue (solve_lp_batch_cclp_rescued) remains the
+        # outer belt. Reference bar: per-pivot refactorization, CCLP.jl:104.
+        E3 = A_B @ invB
+        invB = invB @ (2.0 * eyeR - E3)
         xB = invB @ b1
         w = invB.T @ (OH @ c1)
         h = c1 - A1.T @ w
-        # drift gate on the maintained inverse: beyond tol^(1/4) even two
-        # Newton steps no longer restore tol-level accuracy and a
-        # finite-but-wrong inverse could certify a wrong optimum.
-        drift = jnp.max(jnp.abs(E - eyeR)) > tol ** 0.25
+        drift = jnp.max(jnp.abs(E3 - eyeR)) > tol ** 0.25
         numbad = ~(jnp.all(jnp.isfinite(xB)) & jnp.all(jnp.isfinite(h))
                    & jnp.all(jnp.isfinite(invB))) | drift
 

@@ -95,13 +95,18 @@ def bounded_simplex(
         invB = st.invB
         E = A_B @ invB  # also the Newton-step ingredient below
         invB = invB @ (2.0 * jnp.eye(R, dtype=dtype) - E)
-        # Maintained-inverse drift gate: one Newton step squares the error,
-        # so pre-refresh drift beyond sqrt(tol) means the refreshed inverse
-        # is no better than tol — and past drift ~1 Newton diverges and a
-        # finite-but-wrong inverse would certify a wrong optimum. Map such
-        # drift to the numerical-error status like the reference's failed
-        # factorization would (it refactorizes every pivot, Simplex.jl:590).
-        drift = jnp.max(jnp.abs(E - jnp.eye(R, dtype=dtype))) > jnp.sqrt(tol)
+        # Maintained-inverse drift gate, on the POST-refresh error (VERDICT
+        # r4 item 6 — the pre-refresh gate declared -1 for inverses the
+        # Newton step had already repaired): one more refresh ingredient
+        # E2 = A_B invB' measures the refreshed inverse directly and feeds a
+        # SECOND Newton step (2 extra GEMMs, always executed — vmaps with no
+        # cond-both-branches penalty). Drift beyond sqrt(tol) AFTER a
+        # refresh means quadratic contraction has stalled — map it to the
+        # numerical-error status like the reference's failed factorization
+        # would (it refactorizes every pivot, Simplex.jl:590).
+        E2 = A_B @ invB
+        invB = invB @ (2.0 * jnp.eye(R, dtype=dtype) - E2)
+        drift = jnp.max(jnp.abs(E2 - jnp.eye(R, dtype=dtype))) > jnp.sqrt(tol)
         w = invB.T @ (OH @ c)  # A_B' w = c_B
         h = c - Amat.T @ w  # reduced costs (basic entries ~0)
         xn = jnp.where(in_basis, 0.0, x)

@@ -151,8 +151,11 @@ class TestRescueAndRouting:
     CCLP.jl:59-61 that users rarely want)."""
 
     # the exact bench_suite config2 criss-cross class (N=40, M=4, J=8,
-    # boxed [0,2]); instances 118/130/132 of the seed-2001 batch exit -1 at
-    # f32 (basis-inverse drift gate) — deterministic rescue material
+    # boxed [0,2]). Round-3 history: instances 118/130/132 of the seed-2001
+    # batch exited -1 at f32 under the PRE-refresh drift gate; the round-4
+    # traced in-loop recovery (post-refresh gate + third Newton step,
+    # solvers/cclp.py) solves them natively and leaves only instance 294
+    # (genuinely non-contracting inverse) as deterministic rescue material.
     def _config2_batch(self, B=256):
         N, M, J = 40, 4, 8
         rng = np.random.default_rng(7)
@@ -172,8 +175,8 @@ class TestRescueAndRouting:
                        u=np.full(N, 2.0, np.float32), dtype=np.float32)
 
     def test_f64_rescue_of_f32_failure_single(self):
-        parts = self._config2_batch()
-        P = self._instance(118, parts)
+        parts = self._config2_batch(B=512)
+        P = self._instance(294, parts)
         r0 = solve_lp(P, rescue=False)
         assert int(r0.status) == -1  # the known f32 drift-gate exit
         r1 = solve_lp(P, rescue=True)
@@ -198,7 +201,7 @@ class TestRescueAndRouting:
             solve_lp_batch_cclp, solve_lp_batch_cclp_rescued,
         )
 
-        parts = self._config2_batch()
+        parts = self._config2_batch(B=512)
         N, A, G, cB, bB, gB = parts
         s32 = Settings.for_dtype(np.float32)
         P0 = self._instance(0, parts)
@@ -207,7 +210,10 @@ class TestRescueAndRouting:
         shared = ("A", "G", "d", "u")
         raw = solve_lp_batch_cclp(Pb, s32, shared=shared)
         st_raw = np.asarray(raw.status)
-        assert (st_raw <= 0).sum() >= 3  # known failures present
+        assert (st_raw <= 0).sum() >= 1  # known failure (294) present
+        # the traced in-loop recovery solves >=510/512 natively
+        # (VERDICT r4 item 6 done-bar; was 493/512 with the pre-refresh gate)
+        assert (st_raw > 0).sum() >= 510
         res = solve_lp_batch_cclp_rescued(Pb, s32, shared=shared)
         st = np.asarray(res.status)
         assert (st > 0).all()  # every instance rescued

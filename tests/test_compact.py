@@ -87,3 +87,41 @@ class TestCompactBatch:
         assert bool(jnp.all(r0.status == r1.status))
         assert bool(jnp.all(r0.S == r1.S))
         np.testing.assert_array_equal(np.asarray(r0.x), np.asarray(r1.x))
+
+
+class TestAutoEntry:
+    """solve_qp_batch_auto (verdict r4 item 5): one entry point applying the
+    measured protocol cost model. At test scale (B << 8192) it must pick the
+    plain path and match it exactly; explicit overrides must route to the
+    requested protocol."""
+
+    def test_auto_matches_plain_small(self):
+        from ssqp_tpu.parallel.batch import solve_qp_batch_auto
+
+        Qb, shared = _frontier(B=64)
+        r0 = solve_qp_batch(Qb, S32, shared=shared)
+        r1 = solve_qp_batch_auto(Qb, S32, shared=shared)
+        assert bool(jnp.all(r0.status == r1.status))
+        np.testing.assert_array_equal(np.asarray(r0.x), np.asarray(r1.x))
+
+    def test_auto_tail_override(self):
+        from ssqp_tpu.parallel.batch import (
+            solve_qp_batch_auto, solve_qp_batch_tail_refined,
+        )
+
+        Qb, shared = _frontier(B=32)
+        r0 = solve_qp_batch_tail_refined(Qb, S32, shared, waves=0, tail=4)
+        r1 = solve_qp_batch_auto(Qb, S32, shared=shared, tail=4)
+        assert bool(jnp.all(r0.status == r1.status))
+        np.testing.assert_array_equal(np.asarray(r0.x), np.asarray(r1.x))
+
+    def test_auto_waves_override(self):
+        from ssqp_tpu.parallel.batch import (
+            solve_qp_batch_auto, solve_qp_batch_waves,
+        )
+
+        Qb, shared = _frontier(B=64)
+        r0 = solve_qp_batch_waves(Qb, S32, shared, waves=8)
+        r1 = solve_qp_batch_auto(Qb, S32, shared=shared, waves=8)
+        assert bool(jnp.all(r0.status == r1.status))
+        np.testing.assert_array_equal(np.asarray(r0.x), np.asarray(r1.x))
