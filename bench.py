@@ -131,7 +131,9 @@ def main():
     c2f = int(os.environ.get("BENCH_C2F", "0"))
     if batch % max(c2f, 1):
         c2f = 0
-    compact = int(os.environ.get("BENCH_COMPACT", "0"))
+    _c = os.environ.get("BENCH_COMPACT", "0")
+    compact = (tuple(int(x) for x in _c.split(",")) if "," in _c
+               else int(_c))  # "2,4,8" = cascade levels
     tail = int(os.environ.get("BENCH_TAIL", "0"))
 
     @jax.jit
@@ -161,7 +163,7 @@ def main():
 
                 res = solve_qp_batch_waves(Qb, settings, shared, waves=waves,
                                            compact=compact)
-            elif compact > 0:
+            elif compact:
                 from ssqp_tpu.parallel.batch import solve_qp_batch_compact
 
                 res = solve_qp_batch_compact(Qb, settings, shared=shared,

@@ -170,11 +170,20 @@ def solve_qp_batch_auto(
             tail = 4 if Q.N >= 1024 else 8
         else:
             tail = 0
+    # static-width PDAS compaction pays only where identification runs at
+    # full throughput-bound width: plain protocol, B >= 4096 (round-4 TPU
+    # map at plain B=8192 N=256 — cascade (2,4,8) 188.5k vs flat-4 178.3k
+    # vs none 168.1k; it LOSES under waves (222 vs 238k; the cold wave is
+    # latency-bound) and at B=2048 N=512 (53.4 vs 56.8k)
+    compact = (2, 4, 8) if (waves == 0 and B >= 4096) else 0
     if tail > 0:
         return solve_qp_batch_tail_refined(Q, settings, shared, waves=waves,
-                                           tail=tail)
+                                           tail=tail, compact=compact)
     if waves > 1:
         return solve_qp_batch_waves(Q, settings, shared, waves=waves)
+    if compact:
+        return solve_qp_batch_compact(Q, settings, shared=shared,
+                                      compact=compact)
     return solve_qp_batch(Q, settings, shared=shared)
 
 
@@ -206,7 +215,7 @@ def solve_qp_batch_tail_refined(
     if waves > 1:
         res = solve_qp_batch_waves(Q, settings, shared, waves=waves,
                                    compact=compact)
-    elif compact > 0:
+    elif compact:
         res = solve_qp_batch_compact(Q, settings, shared=shared,
                                      compact=compact)
     else:
@@ -394,7 +403,7 @@ def solve_qp_batch_waves(
     # pass over the merged result: per-wave attachment would pay the
     # sequential CG latency of _attach_duals `waves` times instead of once
     # (the attach work is per-instance independent, so moving it is exact).
-    if compact > 0:
+    if compact:
         Q0 = with_q(qg[0])
         g0 = _guess_start_batch(Q0, settings, shared=shared, compact=compact)
         r0, sol0 = jax.vmap(

@@ -97,15 +97,15 @@ def bounded_simplex(
         invB = invB @ (2.0 * jnp.eye(R, dtype=dtype) - E)
         # Maintained-inverse drift gate, on the POST-refresh error (VERDICT
         # r4 item 6 — the pre-refresh gate declared -1 for inverses the
-        # Newton step had already repaired): one more refresh ingredient
-        # E2 = A_B invB' measures the refreshed inverse directly and feeds a
-        # SECOND Newton step (2 extra GEMMs, always executed — vmaps with no
-        # cond-both-branches penalty). Drift beyond sqrt(tol) AFTER a
-        # refresh means quadratic contraction has stalled — map it to the
-        # numerical-error status like the reference's failed factorization
-        # would (it refactorizes every pivot, Simplex.jl:590).
+        # Newton step had already repaired): E2 = A_B invB' measures the
+        # refreshed inverse directly (one extra GEMM; a second full Newton
+        # step measured -11% on the config2 batched column for no solved-
+        # count gain — simplex's ratio-test-guarded pivots rarely drift).
+        # Post-refresh drift beyond sqrt(tol) means quadratic contraction
+        # has stalled — map it to the numerical-error status like the
+        # reference's failed factorization would (it refactorizes every
+        # pivot, Simplex.jl:590).
         E2 = A_B @ invB
-        invB = invB @ (2.0 * jnp.eye(R, dtype=dtype) - E2)
         drift = jnp.max(jnp.abs(E2 - jnp.eye(R, dtype=dtype))) > jnp.sqrt(tol)
         w = invB.T @ (OH @ c)  # A_B' w = c_B
         h = c - Amat.T @ w  # reduced costs (basic entries ~0)

@@ -740,12 +740,18 @@ def _guess_start_batch(Q: QP, settings: Settings, shared: tuple = (),
     level on ``(B, ...)`` arrays instead of per-instance `vmap`+`while`:
 
       1. the closed-form round 1 and subsequent CG rounds run at full
-         width B while MORE than ``C = B // compact`` instances are still
+         width B while MORE than ``B // levels[0]`` instances are still
          changing;
-      2. once at most C instances are still changing, each step GATHERS
-         them (stable argsort of the active mask) into a fixed C-column
-         buffer, advances that sub-batch ONE round, and SCATTERS the
-         results back — all shapes static, so it stays jit/vmap-clean.
+      2. once at most that many are still changing, each step GATHERS them
+         (stable argsort of the active mask) into a fixed C-column buffer,
+         advances that sub-batch ONE round, and SCATTERS the results back —
+         all shapes static, so it stays jit/vmap-clean. ``compact`` may be
+         an int (one level, C = B // compact) or a tuple of increasing
+         divisors (a CASCADE, e.g. ``(2, 4, 8)``: width halves as the
+         still-changing count crosses each B // level threshold — motivated
+         by the measured round profile at N=256 B=8192, which stays ~100%
+         active through round 5 and then decays 46/28/19/14/11/9% —
+         scratch/pdas_hist.py).
 
     Rationale (the round-3 profile): PDAS identification is ~all of the
     headline device time and its floor is sum-over-rounds(max-over-batch
@@ -769,7 +775,8 @@ def _guess_start_batch(Q: QP, settings: Settings, shared: tuple = (),
     dtype = Q.V.dtype
     ax = qp_axes(Q, shared)
     B = Q.q.shape[0]
-    C = max(B // max(compact, 1), 1)
+    levels = (compact,) if isinstance(compact, int) else tuple(compact)
+    assert all(k >= 1 for k in levels) and list(levels) == sorted(levels)
     R = M + J
 
     Sx0 = jnp.full((B, N), IN, jnp.int8)
@@ -815,7 +822,7 @@ def _guess_start_batch(Q: QP, settings: Settings, shared: tuple = (),
 
     def full_cond(carry):
         active = carry[-1]
-        return jnp.sum(active) > C
+        return jnp.sum(active) > max(B // levels[0], 1)
 
     carry = jax.lax.while_loop(
         full_cond, full_body, (it0, Sx0, Se0, z0, sol0, active0))
@@ -828,28 +835,36 @@ def _guess_start_batch(Q: QP, settings: Settings, shared: tuple = (),
         return dataclasses.replace(
             Q, **{f: getattr(Q, f)[idx] for f in batched_fields})
 
-    def comp_body(carry):
-        it, Sx, Se, z, sol, active = carry
-        # stable sort puts still-active instances first; mask guards the
-        # scatter for the (rare) steps where fewer than C remain active
-        idx = jnp.argsort(~active)[:C]
-        mask = active[idx]
-        Sxn, Sen, zn, soln, ch = vround(gather_Q(idx), Sx[idx], Se[idx],
-                                        sol[idx])
-        mm = mask[:, None]
-        Sx = Sx.at[idx].set(jnp.where(mm, Sxn, Sx[idx]))
-        Se = Se.at[idx].set(jnp.where(mm, Sen, Se[idx]))
-        z = z.at[idx].set(jnp.where(mm, zn, z[idx]))
-        sol = sol.at[idx].set(jnp.where(mask[:, None, None], soln, sol[idx]))
-        it = it.at[idx].add(mask.astype(jnp.int32))
-        active = active.at[idx].set(mask & ch & (it[idx] < rounds))
-        return it, Sx, Se, z, sol, active
+    def make_comp_body(C):
+        def comp_body(carry):
+            it, Sx, Se, z, sol, active = carry
+            # stable sort puts still-active instances first; mask guards the
+            # scatter for steps where fewer than C remain active
+            idx = jnp.argsort(~active)[:C]
+            mask = active[idx]
+            Sxn, Sen, zn, soln, ch = vround(gather_Q(idx), Sx[idx], Se[idx],
+                                            sol[idx])
+            mm = mask[:, None]
+            Sx = Sx.at[idx].set(jnp.where(mm, Sxn, Sx[idx]))
+            Se = Se.at[idx].set(jnp.where(mm, Sen, Se[idx]))
+            z = z.at[idx].set(jnp.where(mm, zn, z[idx]))
+            sol = sol.at[idx].set(
+                jnp.where(mask[:, None, None], soln, sol[idx]))
+            it = it.at[idx].add(mask.astype(jnp.int32))
+            active = active.at[idx].set(mask & ch & (it[idx] < rounds))
+            return it, Sx, Se, z, sol, active
+        return comp_body
 
-    def comp_cond(carry):
-        return jnp.any(carry[-1])
+    for i, k in enumerate(levels):
+        C = max(B // k, 1)
+        if i + 1 < len(levels):
+            nxt = max(B // levels[i + 1], 1)
+            cond = (lambda nxt: lambda c: jnp.sum(c[-1]) > nxt)(nxt)
+        else:
+            cond = lambda c: jnp.any(c[-1])
+        carry = jax.lax.while_loop(cond, make_comp_body(C), carry)
 
-    it, Sx, Se, z, sol, active = jax.lax.while_loop(
-        comp_cond, comp_body, carry)
+    it, Sx, Se, z, sol, active = carry
     return z, Sx, Se, sol
 
 

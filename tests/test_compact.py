@@ -36,7 +36,7 @@ def _frontier(N=48, B=64, seed=3, dtype=np.float32):
 
 
 class TestCompactBatch:
-    @pytest.mark.parametrize("compact", [2, 4, 8])
+    @pytest.mark.parametrize("compact", [2, 4, 8, (2, 4, 8)])
     def test_identical_to_plain(self, compact):
         Qb, shared = _frontier()
         r0 = solve_qp_batch(Qb, S32, shared=shared)
