@@ -410,9 +410,10 @@ def config5():
         def body(i, acc):
             F, ST, SOLVED = acc
             Qs = dataclasses.replace(Qs0, q=Qbig[i])
-            # waves=8: per-shard grid-neighbor warm starts (the headline
-            # protocol; local shard of a sorted grid stays sorted)
-            r, stats = solve_qp_sharded(Qs, s, mesh, shared=shared, waves=8)
+            # waves="auto" (default): per-shard protocol cost model — at
+            # 8192/dev it picks waves=8 grid-neighbor warm starts (the
+            # headline protocol; a local shard of a sorted grid stays sorted)
+            r, stats = solve_qp_sharded(Qs, s, mesh, shared=shared)
             f = 0.5 * jnp.einsum("bi,ij,bj->b", r.x, Qs0.V, r.x) + jnp.sum(
                 Qs.q * r.x, axis=1)
             return (F.at[i].set(f), ST.at[i].set(r.status),

@@ -51,7 +51,7 @@ def solve_qp_sharded(
     mesh: Mesh,
     shared: tuple = (),
     axis="i",
-    waves: int = 0,
+    waves="auto",
 ):
     """Solve a QP batch sharded over a device mesh.
 
@@ -73,12 +73,16 @@ def solve_qp_sharded(
     frontier headline): requires a q-only batch (every other leaf shared)
     sorted so adjacent instances are related, and a local shard size
     divisible by ``waves``. Sharding is contiguous along the batch axis, so
-    a sorted grid stays sorted within each shard.
+    a sorted grid stays sorted within each shard. The default ``"auto"``
+    applies the measured protocol cost model PER SHARD
+    (parallel/batch.py::solve_qp_batch_auto — waves/compaction/tail by
+    local width and N); ``waves=0`` forces the plain vmap.
     """
     from ssqp_tpu.solvers.ssqp import solve_qp_auto
     from ssqp_tpu.parallel.batch import (
         qp_axes,
         settings_for_shared,
+        solve_qp_batch_auto,
         solve_qp_batch_waves,
     )
 
@@ -91,7 +95,9 @@ def solve_qp_sharded(
     )
 
     def local(Qs: QP):
-        if waves > 1:
+        if waves == "auto":
+            res = solve_qp_batch_auto(Qs, settings, shared)
+        elif waves > 1:
             res = solve_qp_batch_waves(Qs, settings, shared, waves=waves)
         else:
             res = jax.vmap(lambda p: solve_qp_auto(p, settings),

@@ -356,10 +356,11 @@ def refine_result_cg(Q: QP, res: Result, settings: Settings, iters: int = 6,
     return _refine_accept(Q, res, x64, settings, hi, free, with_duals)
 
 
-@partial(jax.jit, static_argnames=("s_search", "settings", "iters"))
+@partial(jax.jit, static_argnames=("s_search", "settings", "iters", "method"))
 @highest_matmul
 def _search_and_refine_fused(Q: QP, Qs: QP, s_search: Settings,
-                             settings: Settings, iters: int) -> Result:
+                             settings: Settings, iters: int,
+                             method: str = "cg") -> Result:
     """ONE compiled program for search + refinement (VERDICT r2 weak #2:
     the two-dispatch pipeline paid the dev tunnel's ~40 ms host round trip
     twice — and its variance — per refined solve). The downcast search copy
@@ -368,9 +369,10 @@ def _search_and_refine_fused(Q: QP, Qs: QP, s_search: Settings,
     single dispatch."""
     from ssqp_tpu.solvers.ssqp import solve_qp_auto_core
 
+    refine = refine_result_cg if method == "cg" else refine_result
     res = solve_qp_auto_core(Qs, s_search)
     res = Result(res.x.astype(Q.V.dtype), res.S, res.status)
-    return refine_result(Q, res, settings, iters)
+    return refine(Q, res, settings, iters)
 
 
 def solve_qp_refined(
@@ -379,6 +381,7 @@ def solve_qp_refined(
     settings: Optional[Settings] = None,
     iters: int = 2,
     search_dtype=None,
+    method: str = "cg",
 ) -> Result:
     """High-accuracy solve: active-set search in a fast dtype, refinement of
     the final KKT system against the full-precision data (the BigFloat-tier
@@ -418,7 +421,8 @@ def solve_qp_refined(
     if Q.mc <= 0:
         # invalid-model guard (host-side, like solve_qp's)
         return solve_qp(Qs, settings=s_search)
-    return _search_and_refine_fused(Q, Qs, s_search, settings, iters)
+    return _search_and_refine_fused(Q, Qs, s_search, settings, iters,
+                                    method=method)
 
 
 def solve_qp_refined_dd(
