@@ -204,7 +204,12 @@ def main():
     # untimed re-solve of the last grid for the accuracy audit — through the
     # SAME code path the timed region measured (waves when waves > 1), so the
     # accuracy claim certifies the protocol that produced the throughput
-    if tail > 0:
+    if auto:
+        from ssqp_tpu.parallel.batch import solve_qp_batch_auto
+
+        res = solve_qp_batch_auto(
+            dataclasses.replace(Qb0, q=Qbig[reps - 1]), settings, shared)
+    elif tail > 0:
         from ssqp_tpu.parallel.batch import solve_qp_batch_tail_refined
 
         res = solve_qp_batch_tail_refined(
