@@ -391,6 +391,22 @@ def solve_qp_batch_waves(
     assert {"V", "A", "G", "b", "g", "d", "u"} <= set(shared), (
         "solve_qp_batch_waves needs a q-only batch (constraints shared)")
     settings = settings_for_shared(settings, shared)
+    # Cold-stage PDAS budget: the cold wave runs at width B/W, where the PDAS
+    # sequential CG chain is LATENCY-bound (the ~20-26 ms floor in the waves
+    # cost model) — so unlike the full-width plain protocol (where 24->16 was
+    # measured as tunnel noise), a shorter per-round chain shows directly.
+    # Round-4 alternating TPU A/B at N=256 B=8192 waves=8: iters=16 gave
+    # 226.9k & 229.2k QP/s vs iters=24's 217.4k & 221.9k (+~4%), identical
+    # audit quantiles and 24576/24576 solved. Gated to the measured regime:
+    # f32 tier, box-only inequalities (J==0 — general-inequality PDAS wants
+    # the deeper budget; a failed guess only costs the Phase-1 fallback, not
+    # correctness, but the fallback is the slow path).
+    import dataclasses
+
+    cold_settings = settings
+    if (Q.J == 0 and jnp.dtype(settings.dtype) == jnp.float32
+            and settings.pdas_cg_iters > 16):
+        cold_settings = dataclasses.replace(settings, pdas_cg_iters=16)
     B = Q.q.shape[0]
     assert B % waves == 0
     ax = qp_axes(Q, shared)
@@ -405,14 +421,15 @@ def solve_qp_batch_waves(
     # (the attach work is per-instance independent, so moving it is exact).
     if compact:
         Q0 = with_q(qg[0])
-        g0 = _guess_start_batch(Q0, settings, shared=shared, compact=compact)
+        g0 = _guess_start_batch(Q0, cold_settings, shared=shared,
+                                compact=compact)
         r0, sol0 = jax.vmap(
             lambda p, zg, sx, se, so: solve_qp_auto_core(
-                p, settings, return_sol=True, guess=(zg, sx, se, so)),
+                p, cold_settings, return_sol=True, guess=(zg, sx, se, so)),
             in_axes=(ax, 0, 0, 0, 0))(Q0, *g0)
     else:
         r0, sol0 = jax.vmap(
-            lambda p: solve_qp_auto_core(p, settings, return_sol=True),
+            lambda p: solve_qp_auto_core(p, cold_settings, return_sol=True),
             in_axes=(ax,))(with_q(qg[0]))
     carry0 = (r0.S[:, :Q.N], r0.S[:, Q.N:], r0.x, sol0)
 
