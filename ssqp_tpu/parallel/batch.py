@@ -131,6 +131,86 @@ def _solve_qp_batch_nodual(Q: QP, settings: Settings, shared: tuple = ()):
     )(Q)
 
 
+def batch_kkt_resid(Q: QP, res: Result, shared: tuple = (), hi=None):
+    """Per-instance relative KKT residual (stationarity scaled by
+    1 + max|q|, max'd with absolute primal violations), evaluated with the
+    attached duals in ``hi`` precision (float64 when x64 is on). This is
+    the tail-refinement policy's selection statistic — kept as a public
+    helper so its calibration against true objective gaps
+    (scratch/calib_tail.py) exercises exactly the shipped formula. Failed
+    instances report -inf (not refinable on their labeled set)."""
+    if hi is None:
+        hi = jnp.float64 if jax.config.jax_enable_x64 else Q.V.dtype
+    M, J = Q.M, Q.J
+    ax = qp_axes(Q, shared)
+
+    def resid_one(p, r):
+        x = r.x.astype(hi)
+        AG = (jnp.concatenate([p.A, p.G], axis=0) if J > 0 else p.A).astype(hi)
+        stat = p.V.astype(hi) @ x + p.q.astype(hi) + AG.T @ r.lam.astype(hi) \
+            - r.gamma.astype(hi)
+        e = jnp.max(jnp.abs(stat)) / (1.0 + jnp.max(jnp.abs(p.q.astype(hi))))
+        if M > 0:
+            e = jnp.maximum(
+                e, jnp.max(jnp.abs(p.A.astype(hi) @ x - p.b.astype(hi))))
+        if J > 0:
+            e = jnp.maximum(
+                e, jnp.max(p.G.astype(hi) @ x - p.g.astype(hi)))
+        return jnp.where(r.status > 0, e, -jnp.inf)
+
+    return jax.vmap(resid_one, in_axes=(ax, Result(0, 0, 0, 0, 0)))(Q, res)
+
+
+def _tail_resid_bound(N: int) -> float:
+    """Default f64-KKT-residual threshold above which an f32-searched
+    instance gets tail-refined (see :func:`solve_qp_batch_tail_refined`).
+
+    Calibrated on the frontier class, 3 covariance seeds x 256 f64
+    references at each of N=512 and N=1024 (scratch/calib_tail.py,
+    round 5 — the resid->gap map is N-stable):
+
+        bound    frac refined   max gap left unrefined (512 / 1024)
+        1.0e-6   ~72%           1.4e-7 / 1.6e-7
+        2.0e-6   ~43%           3.8e-7 / 3.9e-7   <- default
+        2.5e-6   ~30%           6.8e-7 / 6.3e-7
+        4.0e-6   ~0.5%          1.2e-6 (the round-3 breach returns)
+
+    2.0e-6 holds the worst unrefined instance under the 5e-7 line with the
+    audit's 1e-6 bar at 2.5x margin; on unseen classes a shifted relation
+    degrades throughput (more passes), not accuracy, since every instance
+    above the bound is refined up to max_passes coverage.
+    """
+    return 2.0e-6
+
+
+def auto_protocol(N: int, B: int, q_only: bool) -> int:
+    """The waves dispatch rule, split out so the measured (N, B) protocol
+    grid can be pinned by a regression test (tests/test_parallel.py).
+
+    Measured same-session alternating TPU A/Bs (best-of-3, QP/s):
+
+        cell (N, B)      plain     waves=8   winner   wave width
+        (128, 1024) r3   45.8k     36.0k     plain    128
+        (256, 2048) r5   62.8k     57.6k     plain    256
+        (512, 2048) r4   60.6k     45.8k     plain    256
+        (1024,1024) r4   18.8k      6.5k     plain    128
+        (1024,2048) r5   25.1k     13.8k     plain    256
+        (128, 8192) r5  185.9k    225.7k     waves    1024
+        (256, 8192) r4  ~175k     ~230k      waves    1024
+        (512, 8192) r5   67.6k    104.1k     waves    1024
+        (1024,8192) r5   23.3k     41.4k     waves    1024
+
+    The winner is decided by WAVE WIDTH alone, at every N measured: the
+    cold wave must clear the ~20-26 ms latency floor (width >= ~1024), else
+    waves pays W-1 warm launches on top of a floor-bound cold solve. Round
+    4's "waves loses at scale" was a width artifact (B=2048 cells), not an
+    N effect — and the N=1024 warm-S-walk blowup (maxSit 36 r4 / 16-19 r5)
+    appears only at widths <= 256; at width 1024 the warm walks stay <= 4
+    S-iterations even at N=1024 (scratch/ab_scale.py, round 5).
+    """
+    return 8 if (q_only and B % 8 == 0 and B // 8 >= 1024) else 0
+
+
 def solve_qp_batch_auto(
     Q: QP, settings: Settings = None, shared: tuple = (),
     waves: int = None, tail: int = None,
@@ -139,20 +219,23 @@ def solve_qp_batch_auto(
     (VERDICT r3 weak #4: protocol selection was manual, and picking waves at
     the wrong scale silently loses ~25%).
 
-    The model (scratch/prof_waves.py, round 3): a cold batch solve has a
-    ~20-26 ms latency floor for any width <= ~2048 (the PDAS sequential CG
-    chain is latency-bound there), and each warm wave costs a flat
-    ~3.5 ms, so T(W) ~ cold(B/W) + (W-1)*3.5ms. Waves therefore WIN only
-    when the batch is a q-only grid (warm-start validity) AND wide enough
-    that cold(B) clears the latency floor — measured crossover: waves=8 at
-    B=8192 wins 1.37x (221k vs 164k N=256 QP/s), while at B=1024/N=128 it
-    LOSES (36.0k vs 45.8k). Rule applied here: waves=8 iff q-only shared
-    and B/8 >= 1024; else plain vmap.
+    The model (scratch/prof_waves.py round 3 + scratch/ab_scale.py round 5):
+    a cold batch solve has a ~20-26 ms latency floor for any width <= ~2048
+    (the PDAS sequential CG chain is latency-bound there), and each warm
+    wave costs a flat ~3.5 ms, so T(W) ~ cold(B/W) + (W-1)*3.5ms. Waves
+    therefore WIN only when the batch is a q-only grid (warm-start
+    validity) AND the wave width B/8 clears the floor — see
+    :func:`auto_protocol` for the measured (N, B) grid. Rule: waves=8 iff
+    q-only shared and B/8 >= 1024; else plain vmap.
 
-    ``tail`` (worst-residual refinement, solve_qp_batch_tail_refined)
-    defaults ON at N >= 512 when x64 is available — the f32 search's
-    objective gap brushes past 1e-6 there (round-4 measurements: tail
-    restores <1e-6 at <3% throughput cost).
+    ``tail`` (residual-thresholded refinement,
+    solve_qp_batch_tail_refined) defaults ON at N >= 512 when x64 is
+    available — the f32 search's objective gap brushes past 1e-6 there.
+    The round-5 policy refines every instance whose f64 KKT residual
+    exceeds the calibrated bound (~43% of frontier instances at N>=512),
+    in up to 4 static-width B/4 passes of ONE f64-residual sweep each,
+    which holds the max gap near ~4e-7 (scratch/calib_tail.py: bound
+    2e-6 -> max unrefined gap 3.8e-7/3.9e-7 at N=512/1024 across 3 seeds).
 
     Both knobs accept explicit overrides; `None` means "apply the model".
     """
@@ -160,16 +243,39 @@ def solve_qp_batch_auto(
     B = Q.q.shape[0]
     q_only = {"V", "A", "G", "b", "g", "d", "u"} <= set(shared)
     if waves is None:
-        waves = 8 if (q_only and B % 8 == 0 and B // 8 >= 1024) else 0
+        waves = auto_protocol(Q.N, B, q_only)
     if tail is None:
-        # round-4 TPU calibration: tail=8 keeps N=512 under the 1e-6 gap
-        # bar; N=1024's worse f32 floor needs the deeper tail=4 (8.84e-7
-        # measured at ~2.6% cost; tail=8 left 1.02e-6)
-        if (Q.N >= 512 and jax.config.jax_enable_x64
-                and jnp.dtype(Q.V.dtype) != jnp.float64):
-            tail = 4 if Q.N >= 1024 else 8
+        needs_tail = (Q.N >= 512 and jnp.dtype(Q.V.dtype) != jnp.float64)
+        if needs_tail and jax.config.jax_enable_x64:
+            # residual-threshold tail policy (round 5): refine in
+            # B//tail-wide passes until no instance's f64 KKT residual
+            # exceeds _tail_resid_bound (max_passes caps the cost); the
+            # fixed round-4 depths (8 at N=512 / 4 at N=1024) left the max
+            # objective gap calibrated rather than controlled (7.5e-7 /
+            # 8.8e-7 on one seed). B/4-wide passes: the bound selects ~43%
+            # of frontier instances, so 2 passes typically cover it.
+            tail = 4
         else:
             tail = 0
+            if needs_tail:
+                # Without x64 the f64 residuals (and f64-residual sweeps)
+                # that restore the <1e-6 objective-gap bar at N >= 512 are
+                # unavailable — and a compensated-f32 fallback is NOT an
+                # option on this stack: XLA reassociates away error-free-
+                # transformation terms under whole-graph compilation
+                # (measured in solvers/refine.py::solve_qp_refined_dd's
+                # history: ~9e-32 eager vs 1.4e-17 jitted). Warn loudly
+                # instead of silently shipping ~1e-6-gap solutions.
+                import warnings
+
+                warnings.warn(
+                    "solve_qp_batch_auto: N >= 512 float32 search without "
+                    "jax_enable_x64 — worst-instance objective gaps can "
+                    "exceed 1e-6 (tail refinement needs float64 residuals; "
+                    "enable x64 or use solve_qp_batch_refined on a float64 "
+                    "problem).",
+                    stacklevel=2,
+                )
     # static-width PDAS compaction pays only where identification runs at
     # full throughput-bound width: plain protocol, B >= 4096 (round-4 TPU
     # map at plain B=8192 N=256 — cascade (2,4,8) 188.5k vs flat-4 178.3k
@@ -177,8 +283,12 @@ def solve_qp_batch_auto(
     # latency-bound) and at B=2048 N=512 (53.4 vs 56.8k)
     compact = (2, 4, 8) if (waves == 0 and B >= 4096) else 0
     if tail > 0:
+        # iters=1: one f64-residual sweep per refined instance measured
+        # accuracy-identical to two at the calibrated bound (max gap
+        # 2.34e-7 both, scratch/check_sweeps.py) at half the sweep cost
         return solve_qp_batch_tail_refined(Q, settings, shared, waves=waves,
-                                           tail=tail, compact=compact)
+                                           tail=tail, iters=1,
+                                           compact=compact)
     if waves > 1:
         return solve_qp_batch_waves(Q, settings, shared, waves=waves)
     if compact:
@@ -189,25 +299,34 @@ def solve_qp_batch_auto(
 
 @partial(jax.jit,
          static_argnames=("settings", "shared", "waves", "tail", "iters",
-                          "compact"))
+                          "compact", "resid_bound", "max_passes"))
 @highest_matmul
 def solve_qp_batch_tail_refined(
     Q: QP, settings: Settings, shared: tuple = (), waves: int = 0,
     tail: int = 16, iters: int = 2, compact: int = 0,
+    resid_bound: float = None, max_passes: int = 4,
 ) -> Result:
-    """Batch solve + selective refinement of the worst-residual tail.
+    """Batch solve + residual-thresholded refinement of the worst tail.
 
     At N>=512 the f32 search's worst-instance objective gap brushes past the
     1e-6 audit line (round-3 scale sweep: 1.08e-6 at N=512, 1.23e-6 at
     N=1024) — an artifact of f32 KKT solve accuracy, not of the identified
     active set. Rather than paying the full refined tier, this re-polishes
-    only the ``B // tail`` instances with the worst float64 KKT residual
-    (stationarity + primal, evaluated with the attached duals): gather,
-    ``iters`` factorization-free f64-residual sweeps
-    (solvers/refine.py::refine_result_cg with exact_sweeps), scatter.
-    All shapes static. Requires x64 for the f64 residuals (degrades to a
-    no-op-accuracy polish without it). Reference accuracy bar: native
-    tol=2^-26 solves at every size (types.jl:390-408).
+    instances whose float64 KKT residual (stationarity + primal, evaluated
+    with the attached duals) exceeds ``resid_bound``
+    (default :func:`_tail_resid_bound`, calibrated to predict objective
+    gaps above ~2.5e-7): a `lax.while_loop` of static-width passes, each
+    gathering the ``B // tail`` worst-residual instances, running ``iters``
+    factorization-free f64-residual sweeps
+    (solvers/refine.py::refine_result_cg with exact_sweeps) and scattering
+    back, until nothing is left above the bound or ``max_passes`` is
+    reached. All shapes static; zero passes run when the batch is already
+    clean. ``resid_bound=0.0`` forces exactly the round-4 behavior of
+    refining the top ``B // tail`` unconditionally (one pass at
+    ``max_passes=1``). Requires x64 for the f64 residuals (degrades to a
+    no-op-accuracy polish without it — solve_qp_batch_auto warns).
+    Reference accuracy bar: native tol=2^-26 solves at every size
+    (types.jl:390-408).
     """
     from ssqp_tpu.solvers.refine import refine_result_cg
 
@@ -226,40 +345,41 @@ def solve_qp_batch_tail_refined(
     N, M, J = Q.N, Q.M, Q.J
     hi = jnp.float64 if jax.config.jax_enable_x64 else Q.V.dtype
     ax = qp_axes(Q, shared)
-
-    def resid_one(p, r):
-        x = r.x.astype(hi)
-        AG = (jnp.concatenate([p.A, p.G], axis=0) if J > 0 else p.A).astype(hi)
-        stat = p.V.astype(hi) @ x + p.q.astype(hi) + AG.T @ r.lam.astype(hi) \
-            - r.gamma.astype(hi)
-        e = jnp.max(jnp.abs(stat)) / (1.0 + jnp.max(jnp.abs(p.q.astype(hi))))
-        if M > 0:
-            e = jnp.maximum(
-                e, jnp.max(jnp.abs(p.A.astype(hi) @ x - p.b.astype(hi))))
-        if J > 0:
-            e = jnp.maximum(
-                e, jnp.max(p.G.astype(hi) @ x - p.g.astype(hi)))
-        # failed instances are not refinable on their labeled set
-        return jnp.where(r.status > 0, e, -jnp.inf)
-
-    resid = jax.vmap(resid_one, in_axes=(ax, Result(0, 0, 0, 0, 0)))(Q, res)
-    idx = jnp.argsort(-resid)[:K]
+    if resid_bound is None:
+        resid_bound = _tail_resid_bound(Q.N)
+    bound = jnp.asarray(resid_bound, hi)
+    resid = batch_kkt_resid(Q, res, shared=shared, hi=hi)
 
     batched_fields = tuple(
         f for f in ("V", "A", "G", "q", "b", "g", "d", "u")
         if f not in shared)
     import dataclasses
 
-    Qk = dataclasses.replace(
-        Q, **{f: getattr(Q, f)[idx] for f in batched_fields})
-    rk = Result(res.x[idx], res.S[idx], res.status[idx])
-    ax_k = qp_axes(Qk, shared)
-    rr = jax.vmap(
-        lambda p, r: refine_result_cg(p, r, settings, iters,
-                                      with_duals=False, exact_sweeps=True),
-        in_axes=(ax_k, Result(0, 0, 0)),
-    )(Qk, rk)
-    x = res.x.at[idx].set(rr.x.astype(Q.V.dtype))
+    def pass_body(carry):
+        x, rs, p = carry
+        idx = jnp.argsort(-rs)[:K]
+        Qk = dataclasses.replace(
+            Q, **{f: getattr(Q, f)[idx] for f in batched_fields})
+        rk = Result(x[idx], res.S[idx], res.status[idx])
+        rr = jax.vmap(
+            lambda pp, r: refine_result_cg(pp, r, settings, iters,
+                                           with_duals=False,
+                                           exact_sweeps=True),
+            in_axes=(ax, Result(0, 0, 0)),
+        )(Qk, rk)
+        x = x.at[idx].set(rr.x.astype(Q.V.dtype))
+        # a refined instance got the full treatment — further passes move on
+        # (refinement at a fixed active set is idempotent; this also
+        # guarantees termination in <= ceil(B/K) passes)
+        rs = rs.at[idx].set(-jnp.inf)
+        return x, rs, p + 1
+
+    def pass_cond(carry):
+        _, rs, p = carry
+        return jnp.any(rs > bound) & (p < max_passes)
+
+    x, _, _ = jax.lax.while_loop(
+        pass_cond, pass_body, (res.x, resid, jnp.asarray(0, jnp.int32)))
     return Result(x, res.S, res.status, res.lam, res.gamma)
 
 
@@ -400,11 +520,18 @@ def solve_qp_batch_waves(
     # audit quantiles and 24576/24576 solved. Gated to the measured regime:
     # f32 tier, box-only inequalities (J==0 — general-inequality PDAS wants
     # the deeper budget; a failed guess only costs the Phase-1 fallback, not
-    # correctness, but the fallback is the slow path).
+    # correctness, but the fallback is the slow path). The clamp applies
+    # ONLY when pdas_cg_iters is still the f32-tier default (24): an
+    # explicitly configured budget (Settings or bench.py's BENCH_PDAS_ITERS
+    # A/B knob) is honored as given. Unmeasured outside N~256 wave widths
+    # ~1024; elsewhere a too-short cold budget costs only the Phase-1
+    # fallback rate, never correctness.
     import dataclasses
 
+    _f32_default_iters = Settings.for_dtype(jnp.float32).pdas_cg_iters
     cold_settings = settings
     if (Q.J == 0 and jnp.dtype(settings.dtype) == jnp.float32
+            and settings.pdas_cg_iters == _f32_default_iters
             and settings.pdas_cg_iters > 16):
         cold_settings = dataclasses.replace(settings, pdas_cg_iters=16)
     B = Q.q.shape[0]

@@ -195,9 +195,28 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
         jnp.zeros((R,), dtype), invB0, jnp.asarray(0, jnp.int32),
         jnp.asarray(False), jnp.asarray(0, jnp.int32),
     )
-    st = jax.lax.while_loop(
-        lambda s: (~s.done) & (s.it < max_iter), body, st0
+    loop_cond = lambda s: (~s.done) & (s.it < max_iter)
+    st = jax.lax.while_loop(loop_cond, body, st0)
+    # TRACED RESTART (VERDICT r5 item 4b): a drift exit (-1) means the
+    # MAINTAINED inverse stopped contracting under Newton refreshes — not
+    # that the exit basis is wrong. Refactorizing is exactly what the
+    # reference does every pivot (CCLP.jl:104) and is only unaffordable
+    # INSIDE the while body; one fresh inverse here (a single (R,R) LU,
+    # shared loop-free cost like invB0's) and one re-entry from the exit
+    # basis with the remaining iteration budget closes drift exits
+    # natively. A singular exit basis yields a non-finite inverse, which
+    # the body's numbad gate turns back into -1 on the first iteration —
+    # no infinite restart (the re-entry runs once: a -1 from the second
+    # loop is final).
+    need = st.status == -1
+    OHr = (st.B[:, None] == arange[None, :]).astype(dtype)
+    invBr = jnp.linalg.inv(A1 @ OHr.T).astype(dtype)
+    st = _CCState(
+        st.B, st.in_basis, st.S, st.xB,
+        jnp.where(need, invBr, st.invB),
+        st.it, st.done & ~need, st.status,
     )
+    st = jax.lax.while_loop(loop_cond, body, st)
     status = jnp.where(st.done, st.status, -max_iter).astype(jnp.int32)
     x_full = jnp.zeros((Nt,), dtype).at[st.B].set(st.xB)
     return status, x_full, st.S

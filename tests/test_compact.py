@@ -110,7 +110,9 @@ class TestAutoEntry:
         )
 
         Qb, shared = _frontier(B=32)
-        r0 = solve_qp_batch_tail_refined(Qb, S32, shared, waves=0, tail=4)
+        # the auto entry point runs the tail at iters=1 (round-5 policy)
+        r0 = solve_qp_batch_tail_refined(Qb, S32, shared, waves=0, tail=4,
+                                         iters=1)
         r1 = solve_qp_batch_auto(Qb, S32, shared=shared, tail=4)
         assert bool(jnp.all(r0.status == r1.status))
         np.testing.assert_array_equal(np.asarray(r0.x), np.asarray(r1.x))

