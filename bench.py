@@ -59,6 +59,11 @@ def main():
 
         settings = dataclasses.replace(
             settings, pdas_cg_iters=int(os.environ["BENCH_PDAS_ITERS"]))
+    if os.environ.get("BENCH_PDAS_WF") == "0":
+        # A/B knob for the water-filling PDAS seed (Settings.pdas_waterfill)
+        import dataclasses
+
+        settings = dataclasses.replace(settings, pdas_waterfill=False)
     if os.environ.get("BENCH_PDAS_PCG") == "1":
         import dataclasses
 

@@ -180,6 +180,63 @@ def config2():
     print(f"config2 batched solved {solved}/{reps * B}", file=sys.stderr)
     _emit("lp_n100_batch256_lps", lps, "LP/s")
 
+    # Grid-warm LP column (round 5): a c-PARAMETRIC family (sorted cost
+    # grid, fixed constraints) through solve_lp_batch_waves — ONE shared
+    # Phase-1 + neighbor-basis Phase-2 warm starts — vs the plain vmapped
+    # two-phase solve of the same family. The reference's warm-startable
+    # simplex kernels (Simplex.jl:426-445) used one problem at a time;
+    # this is their batched-grid form.
+    from ssqp_tpu.parallel.batch import solve_lp_batch_waves
+
+    rng = np.random.default_rng(7)
+    x0 = rng.uniform(0.1, 1.0, N).astype(np.float32)
+    Ag = rng.standard_normal((M, N)).astype(np.float32)
+    Gg = rng.standard_normal((J, N)).astype(np.float32)
+    bg = Ag @ x0
+    gg = Gg @ x0 + rng.uniform(0.1, 1.0, J).astype(np.float32)
+    c0g = rng.standard_normal(N).astype(np.float32)
+    dcg = rng.standard_normal(N).astype(np.float32) * 0.5
+    Pg = make_lp(c0g, Ag, bg, G=Gg, g=gg, d=np.zeros(N, np.float32),
+                 u=np.full(N, 2.0, np.float32), dtype=np.float32)
+    sharedg = ("A", "b", "G", "g", "d", "u")
+
+    def c_grid(i):
+        ts = np.linspace(0.001 * i, 1.0 + 0.001 * i, B).astype(np.float32)
+        return jnp.asarray(c0g[None, :] + ts[:, None] * dcg[None, :])
+
+    CS = jax.device_put(jnp.stack([c_grid(1 + i) for i in range(reps)]))
+    np.asarray(CS.sum())
+
+    for name, fn in (
+        ("plain", lambda Pb: solve_lp_batch(Pb, s, shared=sharedg)),
+        ("waves8", lambda Pb: solve_lp_batch_waves(Pb, s, sharedg, waves=8)),
+    ):
+        @jax.jit
+        def chained_g(CS, fn=fn):
+            def body(i, acc):
+                F, ST = acc
+                Pb = dataclasses.replace(Pg, c=CS[i])
+                r = fn(Pb)
+                return (F.at[i].set(jnp.sum(Pb.c * r.x, axis=1)),
+                        ST.at[i].set(r.status))
+
+            return jax.lax.fori_loop(
+                0, reps, body,
+                (jnp.zeros((reps, B), jnp.float32),
+                 jnp.zeros((reps, B), jnp.int32)))
+
+        warm_g = jax.device_put(jnp.broadcast_to(c_grid(0), CS.shape))
+        np.asarray(warm_g.sum())
+        np.asarray(chained_g(warm_g)[1])
+        t0 = time.perf_counter()
+        F, ST = chained_g(CS)
+        ST = np.asarray(ST)
+        _ = np.asarray(F)
+        glps = B / ((time.perf_counter() - t0) / reps)
+        print(f"config2 c-grid {name} solved {(ST >= 1).sum()}/{reps * B}",
+              file=sys.stderr)
+        _emit(f"lp_n100_grid256_{name}_lps", glps, "LP/s")
+
     # Batched criss-cross (the reference's exported solveLP; no Phase-1) at
     # the size class the least-index rule handles: its pivot count blows
     # past max_iter at N=100 (the reference's CCLP would exhaust the same

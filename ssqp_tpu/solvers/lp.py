@@ -38,31 +38,63 @@ from ssqp_tpu.types import DN, EO, IN, LP, OE, Result, Settings, UP
 from ssqp_tpu.utils.precision import highest_matmul
 
 
-@partial(jax.jit, static_argnames=("settings", "minimize"))
-@highest_matmul
-def simplex_lp_traced(P: LP, settings: Settings, minimize: bool = True) -> Result:
-    c, A, G, b, g, d, u = P.c, P.A, P.G, P.b, P.g, P.d, P.u
-    N, M, J = P.N, P.M, P.J
-    R = M + J
-    dtype = c.dtype
-    tol = settings.tol
-    N0 = 2 * N + J
-    Nt = N0 + R
+from typing import NamedTuple
 
+
+class _LPPrep(NamedTuple):
+    """Cost-independent pieces of the two-phase simplex: the standardized
+    system, its row purge, and the artificial columns. For a c-parametric
+    LP family (fixed constraints, varying cost) everything here — and
+    Phase-1, which minimizes the artificials and never sees ``c`` — is
+    SHARED across the family; only Phase-2 depends on the instance."""
+    std: object
+    A1: jax.Array
+    b0p: jax.Array
+    keep_rows: jax.Array
+    inconsistent: jax.Array
+
+
+class _LPStart(NamedTuple):
+    """A feasible Phase-2 start: basis positions/statuses/point in
+    standardized coordinates, plus the Phase-1 outcome flags (a Phase-1
+    failure or infeasibility verdict applies to every member of a
+    c-parametric family)."""
+    B: jax.Array
+    S: jax.Array
+    x: jax.Array
+    p1_fail: jax.Array
+    p1_code: jax.Array
+    infeasible: jax.Array
+
+
+def _lp_prep(A, G, b, g, d, u, settings: Settings) -> _LPPrep:
+    dtype = A.dtype
+    N = d.shape[0]
+    J = G.shape[0]
+    R = A.shape[0] + J
+    N0 = 2 * N + J
     std = standardize_bounded(A, G, b, g, d, u)
     A0 = std.A1[:, :N0]
     b0 = std.b0
-
-    # ---- purge redundant rows of the standardized system ------------------
-    keep_rows, inconsistent, _ = masked_gj_purge(A0, b0, jnp.ones((R,), bool), tol)
+    # purge redundant rows of the standardized system
+    keep_rows, inconsistent, _ = masked_gj_purge(
+        A0, b0, jnp.ones((R,), bool), settings.tol)
     rm = keep_rows.astype(dtype)
     A0p = A0 * rm[:, None]
     b0p = b0 * rm
     q0 = A0p @ std.d1[:N0]
     sigma = jnp.where(b0p >= q0, 1.0, -1.0).astype(dtype)
     A1 = jnp.concatenate([A0p, jnp.diag(sigma)], axis=1)
+    return _LPPrep(std, A1, b0p, keep_rows, inconsistent)
 
-    # ---- Phase 1 ------------------------------------------------------------
+
+def _lp_phase1(prep: _LPPrep, settings: Settings) -> _LPStart:
+    std, A1, b0p = prep.std, prep.A1, prep.b0p
+    dtype = A1.dtype
+    Nt = A1.shape[1]
+    R = b0p.shape[0]
+    N0 = Nt - R
+    tol = settings.tol
     c1 = jnp.concatenate([jnp.zeros((N0,), dtype), jnp.ones((R,), dtype)])
     st1, x1, B1, S1, _ = bounded_simplex(
         c1, A1, b0p, std.d1, std.u1, std.B0, std.S0, std.d1, std.real,
@@ -76,14 +108,14 @@ def simplex_lp_traced(P: LP, settings: Settings, minimize: bool = True) -> Resul
     # below by 0, so a status-3 "unbounded" can only arise from numerics.
     p1_fail = (st1 <= 0) | (st1 == 3)
     p1_code = jnp.where(st1 == 3, -1, st1)
-    infeasible = (~p1_fail & (f_art > tol)) | inconsistent
+    infeasible = (~p1_fail & (f_art > tol)) | prep.inconsistent
 
-    # ---- drive artificials out of the basis ---------------------------------
+    # ---- drive artificials out of the basis --------------------------------
     col_ids = jnp.arange(Nt)
     basic_cols = jnp.zeros((Nt,), bool).at[B1].set(True)
     nonart = col_ids < N0
     art_row = jnp.clip(col_ids - N0, 0, R - 1)
-    art_for_purged = (col_ids >= N0) & ~keep_rows[art_row]
+    art_for_purged = (col_ids >= N0) & ~prep.keep_rows[art_row]
     col_mask = nonart | (art_for_purged & basic_cols)
     priority = jnp.where(basic_cols & col_mask, 0, jnp.where(nonart, 1, 2))
     keep_cols = masked_independent_cols(A1, col_mask, priority, tol)
@@ -95,8 +127,14 @@ def simplex_lp_traced(P: LP, settings: Settings, minimize: bool = True) -> Resul
     S2 = jnp.where(
         need & newly, IN, jnp.where(need & dropped, DN, S1)
     ).astype(jnp.int8)
+    return _LPStart(B2, S2, x1, p1_fail, p1_code, infeasible)
 
-    # ---- Phase 2 ------------------------------------------------------------
+
+def _lp_cost(prep: _LPPrep, c, N: int, J: int, minimize: bool):
+    """Phase-2 cost vector in standardized coordinates."""
+    std = prep.std
+    dtype = prep.A1.dtype
+    R = prep.b0p.shape[0]
     sgn = jnp.where(std.flip, -1.0, 1.0).astype(dtype)
     c0 = jnp.concatenate([
         c * sgn,
@@ -104,15 +142,38 @@ def simplex_lp_traced(P: LP, settings: Settings, minimize: bool = True) -> Resul
         jnp.where(std.fv, -c, 0.0),
         jnp.zeros((R,), dtype),
     ])
-    if not minimize:
-        c0 = -c0
+    return -c0 if not minimize else c0
+
+
+def _lp_phase2(prep: _LPPrep, c0, B, S, x, settings: Settings,
+               pre_done=None):
+    """Phase-2 from a feasible standardized start. Returns the RAW exit
+    (st2, x2, B3, S3) so grid protocols can carry the basis to a neighbor
+    (reference warm-startable kernels, Simplex.jl:426-445)."""
+    std, A1, b0p = prep.std, prep.A1, prep.b0p
+    Nt = A1.shape[1]
+    R = b0p.shape[0]
+    N0 = Nt - R
     d2 = std.d1  # artificials already have d = 0
     u2 = std.u1.at[N0:].set(0.0)  # pin artificials
     real2 = std.real.at[N0:].set(False)
     st2, x2, B3, S3, _ = bounded_simplex(
-        c0, A1, b0p, d2, u2, B2, S2, x1, real2,
-        tol=tol, max_iter=settings.max_iter, rule=settings.rule,
+        c0, A1, b0p, d2, u2, B, S, x, real2,
+        tol=settings.tol, max_iter=settings.max_iter, rule=settings.rule,
+        pre_done=pre_done,
     )
+    return st2, x2, B3, S3
+
+
+def _lp_finish(prep: _LPPrep, start: _LPStart, c, c0, st2, x2, B3, S3,
+               N: int, J: int, settings: Settings, minimize: bool,
+               A, G) -> Result:
+    std, A1 = prep.std, prep.A1
+    dtype = A1.dtype
+    tol = settings.tol
+    Nt = A1.shape[1]
+    R = prep.b0p.shape[0]
+    N0 = Nt - R
 
     # ---- recovery -----------------------------------------------------------
     xo, So, Se = recover_x_status(x2, S3, std, N, J)
@@ -149,10 +210,23 @@ def simplex_lp_traced(P: LP, settings: Settings, minimize: bool = True) -> Resul
     status = jnp.where(any_fv & optimal, recheck, st2)
 
     status = jnp.where(
-        infeasible, 0, jnp.where(p1_fail, p1_code, status)
+        start.infeasible, 0, jnp.where(start.p1_fail, start.p1_code, status)
     ).astype(jnp.int32)
     S = jnp.concatenate([So, Se]) if J > 0 else So
     return _attach_lp_duals(Result(xo, S, status), c, A, G, minimize)
+
+
+@partial(jax.jit, static_argnames=("settings", "minimize"))
+@highest_matmul
+def simplex_lp_traced(P: LP, settings: Settings, minimize: bool = True) -> Result:
+    N, J = P.N, P.J
+    prep = _lp_prep(P.A, P.G, P.b, P.g, P.d, P.u, settings)
+    start = _lp_phase1(prep, settings)
+    c0 = _lp_cost(prep, P.c, N, J, minimize)
+    st2, x2, B3, S3 = _lp_phase2(prep, c0, start.B, start.S, start.x,
+                                 settings)
+    return _lp_finish(prep, start, P.c, c0, st2, x2, B3, S3, N, J,
+                      settings, minimize, P.A, P.G)
 
 
 def _attach_lp_duals(res: Result, c, A, G, minimize: bool) -> Result:

@@ -649,6 +649,107 @@ def _pdas_round1(Q: QP, settings: Settings, W, Sx0, Se0, z0, sol0):
     return it, Sx, Se, z, sol
 
 
+def _waterfill_seed(Q: QP):
+    """Exact active set of the SEPARABLE model of a single-equality box QP —
+    the water-filling seed for PDAS identification (Settings.pdas_waterfill).
+
+    For ``min 1/2 x'Dx + q'x  s.t.  a'x = beta, d <= x <= u`` with
+    D = diag(V), stationarity gives x_i(lam) = clip((-q_i - lam*a_i)/D_i,
+    d_i, u_i) and h(lam) = a'x(lam) is continuous, piecewise linear and
+    strictly decreasing wherever a variable is free — so the dual root
+    h(lam*) = beta is found EXACTLY by sorting the 2N clip breakpoints and
+    prefix-summing the per-segment (constant, slope) deltas: one sort + two
+    cumsums, no sequential loop (a bisection would add ~50 dependent steps
+    to the PDAS sequential chain this seed exists to shorten).
+
+    Why it helps: PDAS round 1 from all-IN pins by the UNCONSTRAINED-box
+    violations of the equality-only solve, which over/under-pins under tight
+    boxes and takes ~5 full-activity rounds to settle (measured still-
+    changing profile at N=256 tight-box: 256/249/237/202/127/14 per round).
+    The water-filling set already accounts for the budget row jointly with
+    the box, and seeding it drops the profile to 256/236/55/2 with 100%
+    final-status agreement (scratch/seed_study.py, round 5). No reference
+    analogue (the reference starts from a Phase-1 vertex, SSQP.jl:461).
+
+    Handles any sign pattern of ``a`` and infinite bounds. Root finding is
+    SORT-FREE: a first implementation sorted the 2N breakpoints and
+    prefix-summed segment deltas, but a batched (1024, 512) sort costs
+    ~15 ms on TPU (bitonic) — measured to ERASE the seed's entire win at
+    the headline cold wave. Instead the dual root is isolated by LEVELS
+    rounds of 33-point parallel bracket subdivision (each one fused
+    broadcast-clip-reduce op, no data-dependent control flow) and finished
+    with one false-position step, exact once the final bracket spans a
+    single linear segment (resolution 32^6 ~ 1e9 of the initial bracket).
+
+    Returns ``(valid, Sx, z)``; callers must gate on ``valid`` (False when
+    D has nonpositive entries or the dual root is not bracketed) and use it
+    only when M == 1 and J == 0 (static caller gate).
+    """
+    LEVELS, K = 6, 32
+    dtype = Q.V.dtype
+    a = Q.A[0]
+    beta = Q.b[0]
+    D = jnp.diag(Q.V)
+    ok_D = jnp.all(D > 0)
+    Ds = jnp.where(D > 0, D, jnp.ones((), dtype))
+    az = a == 0
+    asafe = jnp.where(az, jnp.ones((), dtype), a)
+
+    def h(lam):
+        # a'x(lam) summed over eventful vars only (a_i == 0 contributes 0)
+        t = (-Q.q - lam[..., None] * a) / Ds
+        return jnp.sum(jnp.where(az, 0.0, a * jnp.clip(t, Q.d, Q.u)),
+                       axis=-1)
+
+    # breakpoints of each variable's clip window (used only for the initial
+    # bracket; infinite-bound breakpoints are masked out)
+    lo_i = (-Q.q - Ds * jnp.where(a > 0, Q.u, Q.d)) / asafe
+    hi_i = (-Q.q - Ds * jnp.where(a > 0, Q.d, Q.u)) / asafe
+    bp = jnp.concatenate([lo_i, hi_i])
+    bp_ok = jnp.isfinite(bp) & jnp.concatenate([~az, ~az])
+    lmin = jnp.min(jnp.where(bp_ok, bp, jnp.inf))
+    lmax = jnp.max(jnp.where(bp_ok, bp, -jnp.inf))
+    # beyond the finite breakpoints h is linear; when a side still has free
+    # variables (infinite start/end bounds) the crossing may lie outside
+    # [lmin, lmax] — its analytic root extends the bracket
+    free_lo = ~az & ~jnp.isfinite(jnp.where(a > 0, Q.u, Q.d))
+    free_hi = ~az & ~jnp.isfinite(jnp.where(a > 0, Q.d, Q.u))
+    S_lo = jnp.sum(jnp.where(free_lo, a * a / Ds, 0.0))
+    S_hi = jnp.sum(jnp.where(free_hi, a * a / Ds, 0.0))
+    # h(lam) = h(anchor) - (lam - anchor) * S on the outer linear pieces
+    root_lo = lmin - (beta - h(lmin)) / jnp.where(S_lo > 0, S_lo, 1.0)
+    root_hi = lmax + (h(lmax) - beta) / jnp.where(S_hi > 0, S_hi, 1.0)
+    span = jnp.maximum(lmax - lmin, 1.0)
+    lo = jnp.where((S_lo > 0) & (root_lo < lmin), root_lo, lmin) - 1e-3 * span
+    hi = jnp.where((S_hi > 0) & (root_hi > lmax), root_hi, lmax) + 1e-3 * span
+    have_bp = jnp.any(bp_ok)
+    lo = jnp.where(have_bp, lo, -1.0)
+    hi = jnp.where(have_bp, hi, 1.0)
+    valid = ok_D & have_bp & (h(lo) >= beta) & (beta >= h(hi))
+
+    grid01 = jnp.linspace(0.0, 1.0, K + 1).astype(dtype)
+
+    def level(carry, _):
+        lo, hi = carry
+        lam_g = lo + (hi - lo) * grid01
+        cnt = jnp.sum(h(lam_g) >= beta)  # h non-increasing along the grid
+        k = jnp.clip(cnt - 1, 0, K - 1)
+        return (lam_g[k], lam_g[k + 1]), None
+
+    (lo, hi), _ = jax.lax.scan(level, (lo, hi), None, length=LEVELS)
+    # false-position finish: exact when [lo, hi] spans one linear segment
+    hlo, hhi = h(lo), h(hi)
+    lam = jnp.where(hlo > hhi, lo + (hlo - beta) * (hi - lo)
+                    / jnp.where(hlo > hhi, hlo - hhi, 1.0),
+                    0.5 * (lo + hi))
+    valid = valid & jnp.isfinite(lam)
+    t = (-Q.q - lam * a) / Ds
+    Sx = jnp.where(t >= Q.u, UP, jnp.where(t <= Q.d, DN, IN)).astype(jnp.int8)
+    z = jnp.clip(t, Q.d, Q.u)
+    z = jnp.where(jnp.isfinite(z), z, 0.0)
+    return valid, Sx, z
+
+
 def _guess_start(Q: QP, settings: Settings, rounds: int = 12,
                  return_state: bool = False):
     """Active-set guess by primal-dual active-set (PDAS) identification.
@@ -716,6 +817,15 @@ def _guess_start(Q: QP, settings: Settings, rounds: int = 12,
             W_loop = W
         it0, Sx0, Se0, z0, sol0 = _pdas_round1(
             Q, settings, W, Sx0, Se0, z0, sol0)
+    if settings.pdas_waterfill and M == 1 and J == 0:
+        # water-filling seed (see :func:`_waterfill_seed`): the separable
+        # model's exact active set replaces round 1's unconstrained-clip
+        # statuses where applicable; the closed-form round-1 sol (when
+        # computed) is KEPT as the CG warm start — the hybrid measured the
+        # same activity profile as a cold waterfill seed
+        okw, Sxw, zw = _waterfill_seed(Q)
+        Sx0 = jnp.where(okw, Sxw, Sx0)
+        z0 = jnp.where(okw, zw, z0)
     it, Sx, Se, z, sol, changed = jax.lax.while_loop(
         round_cond, round_body,
         (it0, Sx0, Se0, z0, sol0, jnp.asarray(True)),
@@ -798,6 +908,11 @@ def _guess_start_batch(Q: QP, settings: Settings, shared: tuple = (),
                 p, settings, W, sx, se, zz, so),
             in_axes=(ax, 0, 0, 0, 0),
         )(Q, Sx0, Se0, z0, sol0)
+    if settings.pdas_waterfill and M == 1 and J == 0:
+        # identical per-instance water-filling override as _guess_start
+        okw, Sxw, zw = jax.vmap(_waterfill_seed, in_axes=(ax,))(Q)
+        Sx0 = jnp.where(okw[:, None], Sxw, Sx0)
+        z0 = jnp.where(okw[:, None], zw, z0)
 
     vround = jax.vmap(
         lambda p, sx, se, so: _pdas_round(

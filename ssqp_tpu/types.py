@@ -122,6 +122,15 @@ class Settings:
     # is per-instance (parallel/batch.py) — a batched (B, N, N) inverse
     # would dwarf the saving.
     pdas_precond: bool = True
+    # Seed PDAS identification with the EXACT active set of the separable
+    # (diagonal) model when the problem is a single-equality box QP
+    # (solvers/ssqp.py::_waterfill_seed: one sort + prefix sums on the 2N
+    # clip breakpoints). Cuts the full-activity identification rounds from
+    # ~5 to ~2 on tight-box frontier batches (measured still-changing
+    # profile 256/249/237/202/127/14 -> 256/236/55/2 at N=256, identical
+    # final statuses); instances where the model does not apply (M != 1,
+    # J > 0, nonpositive diag, unbracketed dual) keep the standard start.
+    pdas_waterfill: bool = True
     # Experimental: ALSO precondition the PDAS rounds' CG with W (two shared
     # GEMMs per iteration instead of Jacobi's one). Off by default — the
     # iteration-count saving only beats the 2x per-iteration cost at low pin

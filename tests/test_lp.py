@@ -1,5 +1,6 @@
 """Two-phase simplex LP driver vs scipy.optimize.linprog oracle."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy.optimize import linprog
@@ -217,3 +218,88 @@ def test_cclp_free_variable_status_in():
     r = solve_lp(P)
     assert int(r.status) >= 1
     assert int(r.S[1]) == int(IN), np.asarray(r.S)
+
+
+class TestLPWaves:
+    """Wave-parallel warm simplex for c-parametric LP families (verdict r5
+    item 5): shared Phase-1 + neighbor-basis Phase-2 warm starts must agree
+    with the plain per-instance two-phase solve."""
+
+    def _family(self, N=24, M=3, J=6, B=32, seed=4):
+        import dataclasses
+
+        rng = np.random.default_rng(seed)
+        A = rng.standard_normal((M, N))
+        x0 = rng.uniform(0.1, 1.0, N)
+        b = A @ x0
+        G = rng.standard_normal((J, N))
+        g = G @ x0 + rng.uniform(0.1, 1.0, J)
+        c0 = rng.standard_normal(N)
+        dc = rng.standard_normal(N) * 0.5
+        ts = np.linspace(0.0, 1.0, B)
+        C = c0[None, :] + ts[:, None] * dc[None, :]
+        P = make_lp(c0, A, b, G=G, g=g, d=np.zeros(N), u=np.full(N, 2.0))
+        Pb = dataclasses.replace(P, c=jnp.asarray(C))
+        return Pb, ("A", "b", "G", "g", "d", "u")
+
+    def test_matches_plain_batch(self):
+        from ssqp_tpu.parallel.batch import (
+            solve_lp_batch, solve_lp_batch_waves,
+        )
+
+        Pb, shared = self._family()
+        s = Settings()
+        r0 = solve_lp_batch(Pb, s, shared=shared)
+        r1 = solve_lp_batch_waves(Pb, s, shared, waves=8)
+        st0 = np.asarray(r0.status)
+        st1 = np.asarray(r1.status)
+        assert (st0 >= 1).all() and (st1 >= 1).all()
+        # same objective at every grid point (bases may differ on ties)
+        f0 = (np.asarray(Pb.c) * np.asarray(r0.x)).sum(1)
+        f1 = (np.asarray(Pb.c) * np.asarray(r1.x)).sum(1)
+        np.testing.assert_allclose(f1, f0, atol=1e-7)
+        # unique optima must match in x as well
+        uniq = (st0 == 1) & (st1 == 1)
+        np.testing.assert_allclose(np.asarray(r1.x)[uniq],
+                                   np.asarray(r0.x)[uniq], atol=1e-6)
+
+    def test_infeasible_family(self):
+        """Phase-1 is shared: an infeasible constraint set must mark every
+        grid point status 0."""
+        import dataclasses
+        from ssqp_tpu.parallel.batch import solve_lp_batch_waves
+
+        N, B = 8, 16
+        rng = np.random.default_rng(1)
+        A = np.ones((2, N))
+        b = np.array([1.0, 5.0])  # contradictory budget rows
+        C = rng.standard_normal((B, N))
+        P = make_lp(C[0], A, b, d=np.zeros(N), u=np.ones(N))
+        Pb = dataclasses.replace(P, c=jnp.asarray(C))
+        r = solve_lp_batch_waves(Pb, Settings(),
+                                 ("A", "b", "G", "g", "d", "u"), waves=4)
+        assert (np.asarray(r.status) == 0).all()
+
+    def test_unbounded_slot(self):
+        """A cost direction making the LP unbounded must come back 3 and
+        not poison its warm-started neighbors."""
+        import dataclasses
+        from ssqp_tpu.parallel.batch import solve_lp_batch_waves
+
+        N, B = 4, 16
+        A = np.zeros((0, N))
+        b = np.zeros((0,))
+        G = np.array([[1.0, -1.0, 0.0, 0.0]])  # x1 - x2 <= 1
+        g = np.array([1.0])
+        d = np.zeros(N)
+        u = np.full(N, np.inf)
+        C = np.tile(np.ones(N), (B, 1))  # bounded slots: optimum x = 0
+        C[5] = np.array([-1.0, 0.0, 1.0, 1.0])  # ray (1,1,0,0) improves
+        P = make_lp(C[0], A, b, G=G, g=g, d=d, u=u)
+        Pb = dataclasses.replace(P, c=jnp.asarray(C))
+        r = solve_lp_batch_waves(Pb, Settings(),
+                                 ("A", "b", "G", "g", "d", "u"), waves=4)
+        st = np.asarray(r.status)
+        assert st[5] == 3
+        ok = np.delete(np.arange(B), 5)
+        assert (st[ok] >= 1).all() and (st[ok] != 3).all()

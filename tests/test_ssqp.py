@@ -129,3 +129,68 @@ def test_kkt_report_diagnostics():
     assert float(np.max(np.asarray(rep.feas_eq))) < 1e-8
     assert float(np.max(np.asarray(rep.stationarity))) < 1e-6
     assert (np.asarray(rep.iters) > 0).all()
+
+
+class TestWaterfillSeed:
+    """Water-filling PDAS seed (round 5): the exact separable-model active
+    set that seeds identification on single-equality box QPs
+    (solvers/ssqp.py::_waterfill_seed)."""
+
+    def _oracle(self, a, q, D, d, u, beta):
+        lo, hi = -1e3, 1e3
+        for _ in range(200):
+            mid = 0.5 * (lo + hi)
+            s = a @ np.clip((-q - mid * a) / D, d, u)
+            lo, hi = (mid, hi) if s > beta else (lo, mid)
+        return np.clip((-q - 0.5 * (lo + hi) * a) / D, d, u)
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_matches_dual_bisection(self, seed):
+        from ssqp_tpu.solvers.ssqp import _waterfill_seed
+
+        rng = np.random.default_rng(seed)
+        N = int(rng.integers(4, 24))
+        D = rng.uniform(0.2, 3.0, N)
+        q = rng.standard_normal(N)
+        a = rng.standard_normal(N)
+        if seed % 2 == 0:
+            a = np.abs(a) + 0.1  # budget-row-like
+        if seed % 3 == 0:
+            a[0] = 0.0  # decoupled variable
+        d = rng.uniform(-2, 0, N)
+        u = d + rng.uniform(0.1, 2.0, N)
+        if seed % 2 == 1:
+            u[1] = np.inf  # long-only-style unbounded upper
+        lamg = float(rng.uniform(-2, 2))
+        xg = np.clip((-q - lamg * a) / D, d, u)
+        beta = float(a @ xg)
+        Q = make_qp(np.diag(D), q, A=a[None, :], b=np.array([beta]),
+                    d=d, u=u)
+        ok, Sx, z = _waterfill_seed(Q)
+        assert bool(ok)
+        x_ref = self._oracle(a, q, D, d, u, beta)
+        np.testing.assert_allclose(np.asarray(z), x_ref, atol=1e-6)
+        Sx = np.asarray(Sx)
+        interior = (x_ref > d + 1e-7) & (x_ref < u - 1e-7)
+        assert (Sx[interior] == IN).all()
+
+    def test_seeded_solve_matches_unseeded(self):
+        """End to end: the seed changes the PDAS trajectory, not the
+        answer — solve_qp with/without pdas_waterfill agree to solver tol
+        on a tight-box frontier instance."""
+        import dataclasses
+        from ssqp_tpu.solvers.ssqp import solve_qp
+
+        rng = np.random.default_rng(11)
+        N = 48
+        H = rng.standard_normal((N, N))
+        V = H @ H.T / N + 0.5 * np.eye(N)
+        mu = rng.uniform(0, 0.2, N)
+        Q = make_qp(V, -mu, u=np.full(N, 4.0 / N))
+        s_on = Settings()
+        s_off = dataclasses.replace(s_on, pdas_waterfill=False)
+        r_on = solve_qp(Q, settings=s_on)
+        r_off = solve_qp(Q, settings=s_off)
+        assert int(r_on.status) > 0 and int(r_off.status) > 0
+        np.testing.assert_allclose(np.asarray(r_on.x), np.asarray(r_off.x),
+                                   atol=1e-8)
