@@ -798,14 +798,15 @@ def config8():
 
     def run_scale(N, batch, reps=2):
         """Frontier throughput at scale through the ONE auto entry point
-        (solve_qp_batch_auto): the round-3/4 cost model picks plain vmap at
-        these widths (waves' per-wave latency floor loses below B/8 >= 1024
-        — measured at N=512 B=2048: plain 60.6k vs waves 45.8k QP/s) and
-        adds the worst-residual tail refinement that restores the <1e-6
-        objective-gap bar the raw f32 search breaches at N>=512 (round-3
-        record: 1.08e-6 / 1.23e-6; round-4 with tail: 9.3e-7 / 8.8e-7 at
-        <3% cost). The audit below certifies the SAME protocol the timer
-        measured, vs CPU f64 references."""
+        (solve_qp_batch_auto). At B=8192 the round-5 dispatch grid picks
+        waves=8 at EVERY N (wave width 1024 clears the cold latency floor;
+        measured same-session: N=512 waves 104.1k vs plain 67.6k, N=1024
+        waves 41.4k vs plain 23.3k QP/s — round 4's "waves loses at scale"
+        was a width artifact of the old B=2048/1024 shapes), plus the
+        residual-thresholded tail refinement that restores the <1e-6
+        objective-gap bar the raw f32 search breaches at N>=512. The audit
+        below certifies the SAME protocol the timer measured, vs CPU f64
+        references."""
         from ssqp_tpu.parallel.batch import solve_qp_batch_auto
 
         V, mu = _market(N)
@@ -879,8 +880,8 @@ def config8():
               file=sys.stderr)
         _emit(f"frontier_n{N}_{tag}_objgap_max", float(gaps.max()), "rel")
 
-    run_scale(512, 2048)
-    run_scale(1024, 1024)
+    run_scale(512, 8192)
+    run_scale(1024, 8192)
 
     # refined tier at N=512: f64 problem, f32 combinatorial search, f64
     # refinement sweeps — objective gap certifies ~1e-10 vs full-f64 refs

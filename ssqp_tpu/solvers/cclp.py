@@ -210,11 +210,43 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
     # loop is final).
     need = st.status == -1
     OHr = (st.B[:, None] == arange[None, :]).astype(dtype)
-    invBr = jnp.linalg.inv(A1 @ OHr.T).astype(dtype)
+    A_Br = A1 @ OHr.T
+    invBr = jnp.linalg.inv(A_Br).astype(dtype)
+    # THREE Newton polish steps on the fresh inverse: TPU's f32 batched LU
+    # is measurably weaker than CPU LAPACK (the same exit bases re-drifted
+    # immediately on TPU while CPU closed them natively) — each step
+    # squares the factorization error, recovering LAPACK-grade accuracy
+    # whenever the basis is not genuinely singular.
+    eyeRr = jnp.eye(R, dtype=dtype)
+    for _ in range(3):
+        invBr = invBr @ (2.0 * eyeRr - A_Br @ invBr)
     st = _CCState(
         st.B, st.in_basis, st.S, st.xB,
         jnp.where(need, invBr, st.invB),
         st.it, st.done & ~need, st.status,
+    )
+    st = jax.lax.while_loop(loop_cond, body, st)
+    # SECOND-CHANCE BASIS REPAIR: an exit basis that re-drifts with a fresh
+    # (Newton-polished) inverse is genuinely ill-conditioned — measured on
+    # TPU, whose batched-LU roundoff steers the least-index walk into bases
+    # the CPU trajectory avoids. Criss-cross accepts ANY basis as a start,
+    # so swap the dependent columns for independent ones (preferring the
+    # current basis, then any real column — the masked GJ selection used by
+    # the simplex drive-out) and re-enter once more. Statuses follow the
+    # repaired basis; the loop re-derives everything else.
+    need2 = st.status == -1
+    prio = jnp.where(st.in_basis, 0, 1)
+    keep2 = masked_independent_cols(A1, jnp.ones((Nt,), bool), prio, tol)
+    B_f = jnp.nonzero(keep2, size=R, fill_value=0)[0].astype(jnp.int32)
+    OH2 = (B_f[:, None] == arange[None, :]).astype(dtype)
+    invB2 = jnp.linalg.inv(A1 @ OH2.T).astype(dtype)
+    st = _CCState(
+        jnp.where(need2, B_f, st.B),
+        jnp.where(need2, keep2, st.in_basis),
+        jnp.where(need2, jnp.where(keep2, IN, DN).astype(jnp.int8), st.S),
+        st.xB,
+        jnp.where(need2, invB2, st.invB),
+        st.it, st.done & ~need2, st.status,
     )
     st = jax.lax.while_loop(loop_cond, body, st)
     status = jnp.where(st.done, st.status, -max_iter).astype(jnp.int32)
