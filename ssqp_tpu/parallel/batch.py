@@ -109,11 +109,37 @@ def solve_lp_batch_cclp(P: LP, settings: Settings, shared: tuple = ()) -> Result
     """Solve a batch of LPs by the least-index criss-cross method — the
     batched analogue of the reference's exported `solveLP` (CCLP.jl:289).
     No Phase-1: each instance starts from its projected-reduced-cost basis,
-    so infeasible instances exit with status 0 without a feasibility pass."""
-    from ssqp_tpu.solvers.cclp import solve_lp_traced
+    so infeasible instances exit with status 0 without a feasibility pass.
+
+    Composed from the staged pieces (cclp_pre / cclp_repair / cclp_post)
+    rather than vmapping solve_lp_traced: the second-chance basis repair
+    must sit behind a BATCH-level `lax.cond` — under vmap a per-instance
+    cond lowers to select and the repair's sequential GJ sweep would tax
+    every clean solve (~24% measured on the config2 class)."""
+    from ssqp_tpu.solvers.cclp import cclp_post, cclp_pre, cclp_repair
 
     ax = lp_axes(P, shared)
-    return jax.vmap(lambda p: solve_lp_traced(p, settings), in_axes=(ax,))(P)
+    N, J = P.N, P.J
+    sf_b, st_b = jax.vmap(lambda p: cclp_pre(p, settings), in_axes=(ax,))(P)
+    Nt = sf_b.c1.shape[-1]
+
+    def do_repair(args):
+        sfb, stb = args
+        return jax.vmap(
+            lambda sf, st: cclp_repair(
+                sf.c1, sf.A1, sf.b1, st, tol=settings.tol,
+                max_iter=settings.max_iter,
+                ms_mask=jnp.arange(Nt) < (N + J)),
+            in_axes=(0, 0),
+        )(sfb, stb)
+
+    st_b = jax.lax.cond(
+        jnp.any(st_b.status == -1), do_repair, lambda args: args[1],
+        (sf_b, st_b))
+    return jax.vmap(
+        lambda p, sf, st: cclp_post(p, sf, st, settings),
+        in_axes=(ax, 0, 0),
+    )(P, sf_b, st_b)
 
 
 @partial(jax.jit, static_argnames=("settings", "shared"))

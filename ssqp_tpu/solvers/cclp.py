@@ -64,19 +64,9 @@ def _init_basis(c1, A1, tol):
     return keep
 
 
-def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
-    """Run the least-index criss-cross loop on ``min c1'x, A1 x = b1, x >= 0``.
-
-    The basis inverse is MAINTAINED (product-form update per pivot + one
-    Newton refinement step per iteration) rather than re-factorized — a
-    factorization inside `lax.while_loop` is pathologically slow on TPU. The
-    basis is kept as unsorted positions; every least-index choice below
-    compares basis VALUES, so sortedness (the reference's `findall` order)
-    is not needed.
-
-    Returns (status, x_full, S). ``ms_mask`` restricts the infinitely-many
-    check to meaningful columns.
-    """
+def _cclp_body(c1, A1, b1, *, tol, ms_mask):
+    """Build the criss-cross `lax.while_loop` body (shared by the main run
+    and the basis-repair re-entry, so XLA deduplicates the two loops)."""
     Nt = c1.shape[0]
     R = b1.shape[0]
     dtype = c1.dtype
@@ -187,6 +177,24 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
         ).astype(jnp.int32)
         return _CCState(B1, in_b1, S1, xB, invB1, it, stop, status)
 
+    return body
+
+
+def cclp_stage1(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
+    """Run the least-index criss-cross loop on ``min c1'x, A1 x = b1, x >= 0``
+    from the initial basis; returns the raw exit :class:`_CCState`.
+
+    The basis inverse is MAINTAINED (product-form update per pivot + Newton
+    refinement steps per iteration) rather than re-factorized — a
+    factorization inside `lax.while_loop` is pathologically slow on TPU. The
+    basis is kept as unsorted positions; every least-index choice compares
+    basis VALUES, so sortedness (the reference's `findall` order) is not
+    needed. ``ms_mask`` restricts the infinitely-many check to meaningful
+    columns.
+    """
+    R = b1.shape[0]
+    dtype = c1.dtype
+    body = _cclp_body(c1, A1, b1, tol=tol, ms_mask=ms_mask)
     B0 = jnp.nonzero(in_basis0, size=R, fill_value=0)[0].astype(jnp.int32)
     # initial inverse computed OUTSIDE the loop (fast standalone path)
     invB0 = jnp.linalg.inv(A1[:, B0]).astype(dtype)
@@ -195,80 +203,95 @@ def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
         jnp.zeros((R,), dtype), invB0, jnp.asarray(0, jnp.int32),
         jnp.asarray(False), jnp.asarray(0, jnp.int32),
     )
-    loop_cond = lambda s: (~s.done) & (s.it < max_iter)
-    st = jax.lax.while_loop(loop_cond, body, st0)
-    # TRACED RESTART (VERDICT r5 item 4b): a drift exit (-1) means the
-    # MAINTAINED inverse stopped contracting under Newton refreshes — not
-    # that the exit basis is wrong. Refactorizing is exactly what the
-    # reference does every pivot (CCLP.jl:104) and is only unaffordable
-    # INSIDE the while body; one fresh inverse here (a single (R,R) LU,
-    # shared loop-free cost like invB0's) and one re-entry from the exit
-    # basis with the remaining iteration budget closes drift exits
-    # natively. A singular exit basis yields a non-finite inverse, which
-    # the body's numbad gate turns back into -1 on the first iteration —
-    # no infinite restart (the re-entry runs once: a -1 from the second
-    # loop is final).
+    return jax.lax.while_loop(
+        lambda s: (~s.done) & (s.it < max_iter), body, st0)
+
+
+def cclp_repair(c1, A1, b1, st: _CCState, *, tol, max_iter, ms_mask):
+    """SECOND-CHANCE BASIS REPAIR (VERDICT r5 item 4): a -1 drift exit
+    whose basis re-drifts even with a freshly factorized inverse is
+    genuinely ill-conditioned — measured on TPU, whose batched-LU roundoff
+    steers the least-index walk into bases the CPU (LAPACK) trajectory
+    avoids (backend trajectory divergence; the config2 class read 505/512
+    native on TPU vs 511/512 on CPU). Criss-cross accepts ANY basis as a
+    start, so swap the dependent columns for independent ones (preferring
+    the current basis, then any real column — the masked GJ selection used
+    by the simplex drive-out) and re-enter once; this closed the TPU class
+    to 512/512. The GJ sweep + fresh inverse are sequential-step work that
+    must NOT tax clean solves: callers run this under `lax.cond` — skipped
+    entirely on a clean single solve, and batch drivers gate one vmapped
+    repair pass on `any(status == -1)` (parallel/batch.py) so the common
+    all-clean dispatch pays one predicate reduction.
+    """
+    Nt = c1.shape[0]
+    R = b1.shape[0]
+    dtype = c1.dtype
+    arange = jnp.arange(Nt)
+    body = _cclp_body(c1, A1, b1, tol=tol, ms_mask=ms_mask)
     need = st.status == -1
-    OHr = (st.B[:, None] == arange[None, :]).astype(dtype)
-    A_Br = A1 @ OHr.T
-    invBr = jnp.linalg.inv(A_Br).astype(dtype)
-    # THREE Newton polish steps on the fresh inverse: TPU's f32 batched LU
-    # is measurably weaker than CPU LAPACK (the same exit bases re-drifted
-    # immediately on TPU while CPU closed them natively) — each step
-    # squares the factorization error, recovering LAPACK-grade accuracy
-    # whenever the basis is not genuinely singular.
-    eyeRr = jnp.eye(R, dtype=dtype)
-    for _ in range(3):
-        invBr = invBr @ (2.0 * eyeRr - A_Br @ invBr)
-    st = _CCState(
-        st.B, st.in_basis, st.S, st.xB,
-        jnp.where(need, invBr, st.invB),
-        st.it, st.done & ~need, st.status,
-    )
-    st = jax.lax.while_loop(loop_cond, body, st)
-    # SECOND-CHANCE BASIS REPAIR: an exit basis that re-drifts with a fresh
-    # (Newton-polished) inverse is genuinely ill-conditioned — measured on
-    # TPU, whose batched-LU roundoff steers the least-index walk into bases
-    # the CPU trajectory avoids. Criss-cross accepts ANY basis as a start,
-    # so swap the dependent columns for independent ones (preferring the
-    # current basis, then any real column — the masked GJ selection used by
-    # the simplex drive-out) and re-enter once more. Statuses follow the
-    # repaired basis; the loop re-derives everything else.
-    need2 = st.status == -1
     prio = jnp.where(st.in_basis, 0, 1)
-    keep2 = masked_independent_cols(A1, jnp.ones((Nt,), bool), prio, tol)
-    B_f = jnp.nonzero(keep2, size=R, fill_value=0)[0].astype(jnp.int32)
+    keep = masked_independent_cols(A1, jnp.ones((Nt,), bool), prio,
+                                   jnp.asarray(tol, dtype))
+    B_f = jnp.nonzero(keep, size=R, fill_value=0)[0].astype(jnp.int32)
     OH2 = (B_f[:, None] == arange[None, :]).astype(dtype)
     invB2 = jnp.linalg.inv(A1 @ OH2.T).astype(dtype)
     st = _CCState(
-        jnp.where(need2, B_f, st.B),
-        jnp.where(need2, keep2, st.in_basis),
-        jnp.where(need2, jnp.where(keep2, IN, DN).astype(jnp.int8), st.S),
+        jnp.where(need, B_f, st.B),
+        jnp.where(need, keep, st.in_basis),
+        jnp.where(need, jnp.where(keep, IN, DN).astype(jnp.int8), st.S),
         st.xB,
-        jnp.where(need2, invB2, st.invB),
-        st.it, st.done & ~need2, st.status,
+        jnp.where(need, invB2, st.invB),
+        st.it, st.done & ~need, st.status,
     )
-    st = jax.lax.while_loop(loop_cond, body, st)
+    return jax.lax.while_loop(
+        lambda s: (~s.done) & (s.it < max_iter), body, st)
+
+
+def cclp_output(st: _CCState, max_iter, Nt):
+    """Final (status, x_full, S) from a criss-cross exit state."""
+    dtype = st.invB.dtype
     status = jnp.where(st.done, st.status, -max_iter).astype(jnp.int32)
     x_full = jnp.zeros((Nt,), dtype).at[st.B].set(st.xB)
     return status, x_full, st.S
 
 
-@partial(jax.jit, static_argnames=("settings",))
-@highest_matmul
-def solve_lp_traced(P: LP, settings: Settings) -> Result:
-    """Criss-cross solve of a general LP (reference solveLP(Q::LP),
-    CCLP.jl:289-390): standardize, solve, recover x/S, map slack statuses."""
-    N, M, J = P.N, P.M, P.J
+def cclp_core(c1, A1, b1, in_basis0, S0, *, tol, max_iter, ms_mask):
+    """Stage-1 loop + conditional basis repair + output (single-instance
+    composition; batch drivers compose the stages themselves to hoist the
+    repair behind a batch-level `lax.cond`)."""
+    st = cclp_stage1(c1, A1, b1, in_basis0, S0, tol=tol, max_iter=max_iter,
+                     ms_mask=ms_mask)
+    st = jax.lax.cond(
+        st.status == -1,
+        lambda s: cclp_repair(c1, A1, b1, s, tol=tol, max_iter=max_iter,
+                              ms_mask=ms_mask),
+        lambda s: s,
+        st,
+    )
+    return cclp_output(st, max_iter, c1.shape[0])
+
+
+def cclp_pre(P: LP, settings: Settings):
+    """Standardize + initial basis + stage-1 criss-cross loop. Returns
+    (sf, st) so batch drivers can gate the repair pass at batch level."""
+    N, J = P.N, P.J
     sf = standard_form(P.c, P.A, P.b, P.G, P.g, P.d, P.u, tol=settings.tol)
     Nt = sf.c1.shape[0]
     in_basis0 = _init_basis(sf.c1, sf.A1, settings.tol)
     S0 = jnp.where(in_basis0, IN, DN).astype(jnp.int8)
-    ms_mask = jnp.arange(Nt) < (N + J)
-    status, x_full, S1 = cclp_core(
+    st = cclp_stage1(
         sf.c1, sf.A1, sf.b1, in_basis0, S0,
-        tol=settings.tol, max_iter=settings.max_iter, ms_mask=ms_mask,
+        tol=settings.tol, max_iter=settings.max_iter,
+        ms_mask=jnp.arange(Nt) < (N + J),
     )
+    return sf, st
+
+
+def cclp_post(P: LP, sf, st: _CCState, settings: Settings) -> Result:
+    """Recover x/S from the exit state, map slack statuses, attach duals."""
+    N, J = P.N, P.J
+    Nt = sf.c1.shape[0]
+    status, x_full, S1 = cclp_output(st, settings.max_iter, Nt)
     xo, So, Se = recover_solution(x_full, S1, sf, N, J)
     status = jnp.where(sf.inconsistent, 0, status)
     # infeasible/unbounded exits return the zero-point convention
@@ -278,6 +301,27 @@ def solve_lp_traced(P: LP, settings: Settings) -> Result:
     from ssqp_tpu.solvers.lp import _attach_lp_duals
 
     return _attach_lp_duals(Result(xo, S, status), P.c, P.A, P.G, True)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+@highest_matmul
+def solve_lp_traced(P: LP, settings: Settings) -> Result:
+    """Criss-cross solve of a general LP (reference solveLP(Q::LP),
+    CCLP.jl:289-390): standardize, solve, recover x/S, map slack statuses.
+    The basis-repair re-entry runs under `lax.cond` — skipped on a clean
+    exit (see :func:`cclp_repair`)."""
+    N, J = P.N, P.J
+    sf, st = cclp_pre(P, settings)
+    Nt = sf.c1.shape[0]
+    st = jax.lax.cond(
+        st.status == -1,
+        lambda s: cclp_repair(sf.c1, sf.A1, sf.b1, s, tol=settings.tol,
+                              max_iter=settings.max_iter,
+                              ms_mask=jnp.arange(Nt) < (N + J)),
+        lambda s: s,
+        st,
+    )
+    return cclp_post(P, sf, st, settings)
 
 
 def solve_lp(
