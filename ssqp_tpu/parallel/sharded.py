@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 shard_map = jax.shard_map
 
-from ssqp_tpu.types import QP, Result, Settings
+from ssqp_tpu.types import LP, QP, Result, Settings
 from ssqp_tpu.utils.precision import highest_matmul
 
 
@@ -129,6 +129,73 @@ def shard_batch(Q: QP, mesh: Mesh, shared: tuple = (), axis="i") -> QP:
         parts[f] = jax.device_put(arr, NamedSharding(mesh, spec))
     return QP(parts["V"], parts["A"], parts["G"], parts["q"], parts["b"],
               parts["g"], parts["d"], parts["u"], Q.N, Q.M, Q.J, Q.mc)
+
+
+def _lp_spec_tree(Pb: LP, shared: tuple, axis) -> LP:
+    sp = {f: (P() if f in shared else P(axis)) for f in
+          ("c", "A", "b", "G", "g", "d", "u")}
+    return LP(sp["c"], sp["A"], sp["b"], sp["G"], sp["g"], sp["d"], sp["u"],
+              Pb.N, Pb.M, Pb.J, Pb.mc)
+
+
+@partial(jax.jit, static_argnames=("settings", "shared", "mesh", "axis",
+                                   "engine", "waves", "minimize"))
+@highest_matmul
+def solve_lp_sharded(
+    Pb: LP,
+    settings: Settings,
+    mesh: Mesh,
+    shared: tuple = (),
+    axis="i",
+    engine: str = "simplex",
+    waves: int = 0,
+    minimize: bool = True,
+):
+    """Solve an LP batch sharded over a device mesh — the LP twin of
+    :func:`solve_qp_sharded` (the reference has no distributed backend at
+    all; this is new capability, SURVEY §2).
+
+    ``engine`` selects the local solver: ``"simplex"`` (two-phase, the
+    size-robust default) or ``"cclp"`` (least-index criss-cross, incl. its
+    conditional basis repair). ``waves > 1`` with the simplex engine runs
+    the c-parametric warm-wave protocol on each device's local shard
+    (parallel/batch.py::solve_lp_batch_waves — shared Phase-1 +
+    neighbor-basis Phase-2; requires a c-only batch, contiguous sharding
+    keeps a sorted cost grid sorted per shard). Returns ``(Result, stats)``
+    with batch-sharded Result leaves and replicated mesh-wide aggregates:
+    ``solved`` (#status>0 — optimal/infinitely-many/unbounded verdicts),
+    ``infeasible`` (#status==0).
+    """
+    from ssqp_tpu.parallel.batch import (
+        solve_lp_batch,
+        solve_lp_batch_cclp,
+        solve_lp_batch_waves,
+    )
+
+    in_specs = _lp_spec_tree(Pb, shared, axis)
+    out_specs = (
+        Result(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        dict(solved=P(), infeasible=P()),
+    )
+
+    def local(Ps: LP):
+        if engine == "cclp":
+            res = solve_lp_batch_cclp(Ps, settings, shared=shared)
+        elif waves > 1:
+            res = solve_lp_batch_waves(Ps, settings, shared, waves=waves,
+                                       minimize=minimize)
+        else:
+            res = solve_lp_batch(Ps, settings, shared=shared,
+                                 minimize=minimize)
+        solved = jax.lax.psum(jnp.sum(res.status > 0), axis)
+        infeas = jax.lax.psum(jnp.sum(res.status == 0), axis)
+        return res, dict(solved=solved, infeasible=infeas)
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
+        check_vma=False,
+    )
+    return fn(Pb)
 
 
 # ---------------------------------------------------------------------------
