@@ -237,6 +237,63 @@ def config2():
               file=sys.stderr)
         _emit(f"lp_n100_grid256_{name}_lps", glps, "LP/s")
 
+    # RHS-grid column (round 5): b/g-parametric family through
+    # solve_lp_batch_waves_rhs — wave 0 two-phase, waves 1+ DUAL-simplex
+    # restarts from the neighbor's optimal basis (dual feasibility depends
+    # only on c). No reference analogue (no dual method in Simplex.jl).
+    from ssqp_tpu.parallel.batch import solve_lp_batch_waves_rhs
+
+    rngr = np.random.default_rng(17)
+    Ar = rngr.standard_normal((M, N)).astype(np.float32)
+    Gr = rngr.standard_normal((J, N)).astype(np.float32)
+    cr = rngr.standard_normal(N).astype(np.float32)
+    xr0 = rngr.uniform(0.1, 1.0, N).astype(np.float32)
+    xr1 = rngr.uniform(0.1, 1.0, N).astype(np.float32)
+    slackr = rngr.uniform(0.1, 1.0, J).astype(np.float32)
+    Pr = make_lp(cr, Ar, (Ar @ xr0).astype(np.float32), G=Gr,
+                 g=(Gr @ xr0 + slackr).astype(np.float32),
+                 d=np.zeros(N, np.float32), u=np.full(N, 2.0, np.float32),
+                 dtype=np.float32)
+    sharedr = ("c", "A", "G", "d", "u")
+
+    def bg_grid(i):
+        ts = np.linspace(0.001 * i, 1.0 + 0.001 * i, B).astype(np.float32)
+        Xc = xr0[None, :] + ts[:, None] * (xr1 - xr0)[None, :]
+        return (jnp.asarray((Xc @ Ar.T).astype(np.float32)),
+                jnp.asarray((Xc @ Gr.T + slackr[None, :]).astype(np.float32)))
+
+    BSr = jax.device_put(jnp.stack([bg_grid(1 + i)[0] for i in range(reps)]))
+    GSr = jax.device_put(jnp.stack([bg_grid(1 + i)[1] for i in range(reps)]))
+    np.asarray(BSr.sum())
+
+    @jax.jit
+    def chained_r(BS, GS):
+        def body(i, acc):
+            F, ST = acc
+            Pb = dataclasses.replace(Pr, b=BS[i], g=GS[i])
+            r = solve_lp_batch_waves_rhs(Pb, s, sharedr, waves=8)
+            return (F.at[i].set(r.x @ jnp.asarray(cr)),
+                    ST.at[i].set(r.status))
+
+        return jax.lax.fori_loop(
+            0, reps, body,
+            (jnp.zeros((reps, B), jnp.float32),
+             jnp.zeros((reps, B), jnp.int32)))
+
+    b0r, g0r = bg_grid(0)
+    warm_r = (jax.device_put(jnp.broadcast_to(b0r, (reps,) + b0r.shape)),
+              jax.device_put(jnp.broadcast_to(g0r, (reps,) + g0r.shape)))
+    np.asarray(warm_r[0].sum())
+    np.asarray(chained_r(*warm_r)[1])
+    t0 = time.perf_counter()
+    F, ST = chained_r(BSr, GSr)
+    ST = np.asarray(ST)
+    _ = np.asarray(F)
+    rlps = B / ((time.perf_counter() - t0) / reps)
+    print(f"config2 rhs-grid dual-waves solved {(ST >= 1).sum()}"
+          f"/{reps * B}", file=sys.stderr)
+    _emit("lp_n100_rhsgrid256_dualwaves_lps", rlps, "LP/s")
+
     # Batched criss-cross (the reference's exported solveLP; no Phase-1) at
     # the size class the least-index rule handles: its pivot count blows
     # past max_iter at N=100 (the reference's CCLP would exhaust the same

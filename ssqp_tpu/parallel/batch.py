@@ -541,6 +541,173 @@ def solve_lp_batch_waves(
     )(P.c, st2, x2, B3, S3)
 
 
+@partial(jax.jit, static_argnames=("settings", "shared", "waves", "minimize"))
+@highest_matmul
+def solve_lp_batch_waves_rhs(
+    P: LP, settings: Settings, shared: tuple, waves: int = 8,
+    minimize: bool = True,
+) -> Result:
+    """Wave-parallel warm simplex for RHS-parametric LP families (b and/or
+    g vary over a sorted grid; c and the constraint matrices are shared).
+
+    The complement of :func:`solve_lp_batch_waves`: when only the
+    right-hand side moves, a neighbor's OPTIMAL basis stays DUAL-feasible
+    (reduced costs depend on c and A alone), so waves 1..W-1 restart the
+    DUAL simplex from the same-slot basis of the previous wave
+    (solvers/lp.py::_lp_phase2_dual) — no Phase-1, typically a few
+    bound-restoring pivots per step. Wave 0 solves its slice cold through
+    the full two-phase pipeline (per-instance prep: the artificial signs
+    and the row-purge consistency flag depend on the rhs). The standardized
+    rhs of every member is built against the FAMILY's keep-row mask; a
+    member whose rhs is inconsistent on a purged dependent row cannot be
+    seen by the purged system, so every claimed-optimal solution is
+    re-checked against its ORIGINAL constraints and demoted to infeasible
+    on material violation. Failed slots (-1 invalid warm start /
+    -max_iter) re-solve cold in a batch-level `lax.cond` rescue pass that
+    costs one predicate when nothing failed. No reference analogue (the
+    reference has no dual method, Simplex.jl).
+    """
+    from ssqp_tpu.solvers.lp import (
+        _lp_cost, _lp_finish, _lp_phase1, _lp_phase2, _lp_phase2_dual,
+        _lp_prep, _LPStart,
+    )
+
+    assert {"c", "A", "G", "d", "u"} <= set(shared), (
+        "solve_lp_batch_waves_rhs needs an rhs-only batch (c/A/G/d/u "
+        "shared)")
+    bat = tuple(f for f in ("b", "g") if f not in shared)
+    assert bat, "at least one of b/g must vary"
+    B = getattr(P, bat[0]).shape[0]
+    assert B % waves == 0
+    N, M, J = P.N, P.M, P.J
+
+    def member(f, i):
+        a = getattr(P, f)
+        return a[i] if f in bat else a
+
+    prep = _lp_prep(P.A, P.G, member("b", 0), member("g", 0), P.d, P.u,
+                    settings)
+    c0 = _lp_cost(prep, P.c, N, J, minimize)
+    rm = prep.keep_rows.astype(P.c.dtype)
+
+    def b0p_of(b_i, g_i):
+        b0 = jnp.concatenate([b_i, g_i]) if J > 0 else b_i
+        return b0 * rm
+
+    def cold(b_i, g_i, pd):
+        prep_i = _lp_prep(P.A, P.G, b_i, g_i, P.d, P.u, settings)
+        start_i = _lp_phase1(prep_i, settings, pre_done=pd)
+        st2, x2, B3, S3 = _lp_phase2(prep_i, c0, start_i.B, start_i.S,
+                                     start_i.x, settings, pre_done=pd)
+        return st2, x2, B3, S3, start_i.p1_fail, start_i.p1_code, \
+            start_i.infeasible
+
+    W = B // waves
+    bg = [jnp.reshape(getattr(P, f), (W, waves) + getattr(P, f).shape[1:])
+          .transpose(1, 0, *range(2, getattr(P, f).ndim + 1))
+          if f in bat else None for f in ("b", "g")]
+
+    def slice_bg(k):
+        b_k = bg[0][k] if bg[0] is not None else jnp.broadcast_to(
+            P.b, (W,) + P.b.shape)
+        g_k = bg[1][k] if bg[1] is not None else jnp.broadcast_to(
+            P.g, (W,) + P.g.shape)
+        return b_k, g_k
+
+    no_skip = jnp.zeros((W,), bool)
+    b0w, g0w = slice_bg(0)
+    st0, x0, B0, S0, pf0, pc0, inf0 = jax.vmap(cold, in_axes=(0, 0, 0))(
+        b0w, g0w, no_skip)
+
+    def upd(ok, new, old):
+        return jnp.where(ok.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
+
+    carry0 = (B0, S0, x0)  # failed slots carry their own exit; the dual
+    # entry gate + rescue protect downstream warm starts
+
+    def step(carry, k):
+        Bb, Sb, xb = carry
+        b_k, g_k = slice_bg(k)
+        st, xw, Bw, Sw = jax.vmap(
+            lambda bi, gi, Bc, Sc, xc: _lp_phase2_dual(
+                prep, c0, b0p_of(bi, gi), Bc, Sc, xc, settings),
+            in_axes=(0, 0, 0, 0, 0),
+        )(b_k, g_k, Bb, Sb, xb)
+        ok = (st == 1) | (st == 2)
+        return ((upd(ok, Bw, Bb), upd(ok, Sw, Sb), upd(ok, xw, xb)),
+                (st, xw, Bw, Sw))
+
+    _, rest = jax.lax.scan(step, carry0, jnp.arange(1, waves))
+
+    def merge(a0, ar):
+        allw = jnp.concatenate([a0[None], ar], axis=0)
+        return jnp.swapaxes(allw, 0, 1).reshape((B,) + allw.shape[2:])
+
+    st2 = merge(st0, rest[0])
+    x2 = merge(x0, rest[1])
+    B3 = merge(B0, rest[2])
+    S3 = merge(S0, rest[3])
+    zf = jnp.zeros((B // waves,), bool)
+    p1f = merge(pf0, jnp.broadcast_to(zf[None], (waves - 1, W)))
+    p1c = merge(pc0, jnp.broadcast_to(
+        jnp.zeros((W,), jnp.int32)[None], (waves - 1, W)))
+    infs = merge(inf0, jnp.broadcast_to(zf[None], (waves - 1, W)))
+
+    # rescue: numerical / budget-exhausted / invalid-warm-start exits
+    # re-solve cold; batch-level cond keeps the all-clean dispatch free
+    bad = st2 < 0
+    bB = (getattr(P, "b") if "b" in bat else
+          jnp.broadcast_to(P.b, (B,) + P.b.shape))
+    gB = (getattr(P, "g") if "g" in bat else
+          jnp.broadcast_to(P.g, (B,) + P.g.shape))
+
+    def do_rescue(args):
+        st2, x2, B3, S3, p1f, p1c, infs = args
+        str_, xr, Br, Sr, pfr, pcr, infr = jax.vmap(
+            cold, in_axes=(0, 0, 0))(bB, gB, ~bad)
+        fix = bad  # every rescue verdict (incl. a genuine 0) replaces a
+        # failed warm exit
+        return (jnp.where(fix, str_, st2), upd(fix, xr, x2),
+                upd(fix, Br, B3), upd(fix, Sr, S3),
+                jnp.where(fix, pfr, p1f), jnp.where(fix, pcr, p1c),
+                jnp.where(fix, infr, infs))
+
+    st2, x2, B3, S3, p1f, p1c, infs = jax.lax.cond(
+        jnp.any(bad), do_rescue, lambda a: a,
+        (st2, x2, B3, S3, p1f, p1c, infs))
+
+    res = jax.vmap(
+        lambda st, xx, Bb, Sb, pf, pc, inf: _lp_finish(
+            prep, _LPStart(Bb, Sb, xx, pf, pc, inf), P.c, c0, st, xx, Bb,
+            Sb, N, J, settings, minimize, P.A, P.G),
+        in_axes=(0, 0, 0, 0, 0, 0, 0),
+    )(st2, x2, B3, S3, p1f, p1c, infs)
+
+    # original-constraint guard (see docstring): demote claimed-optimal
+    # members violating their OWN rhs (invisible to the family-purged
+    # system) to infeasible
+    tol = jnp.asarray(settings.tol, P.c.dtype)
+
+    def guard(r, b_i, g_i):
+        x = r.x
+        v = jnp.zeros((), P.c.dtype)
+        if M > 0:
+            v = jnp.maximum(v, jnp.max(jnp.abs(P.A @ x - b_i)))
+        if J > 0:
+            v = jnp.maximum(v, jnp.max(P.G @ x - g_i))
+        scale = 1.0 + (jnp.max(jnp.abs(b_i)) if M > 0 else 0.0)
+        bad_i = (r.status >= 1) & (v > 100.0 * tol * scale)
+        status = jnp.where(bad_i, 0, r.status).astype(jnp.int32)
+        zero = jnp.zeros_like(x)
+        return Result(
+            jnp.where(bad_i, zero, x), r.S, status,
+            None if r.lam is None else jnp.where(bad_i, 0.0, r.lam),
+            None if r.gamma is None else jnp.where(bad_i, 0.0, r.gamma),
+        )
+
+    return jax.vmap(guard, in_axes=(0, 0, 0))(res, bB, gB)
+
+
 def solve_lp_batch_cclp_rescued(
     P: LP, settings: Settings, shared: tuple = ()
 ) -> Result:

@@ -88,7 +88,8 @@ def _lp_prep(A, G, b, g, d, u, settings: Settings) -> _LPPrep:
     return _LPPrep(std, A1, b0p, keep_rows, inconsistent)
 
 
-def _lp_phase1(prep: _LPPrep, settings: Settings) -> _LPStart:
+def _lp_phase1(prep: _LPPrep, settings: Settings,
+               pre_done=None) -> _LPStart:
     std, A1, b0p = prep.std, prep.A1, prep.b0p
     dtype = A1.dtype
     Nt = A1.shape[1]
@@ -99,6 +100,7 @@ def _lp_phase1(prep: _LPPrep, settings: Settings) -> _LPStart:
     st1, x1, B1, S1, _ = bounded_simplex(
         c1, A1, b0p, std.d1, std.u1, std.B0, std.S0, std.d1, std.real,
         tol=tol, max_iter=settings.max_iter, rule=settings.rule,
+        pre_done=pre_done,
     )
     f_art = jnp.sum(x1[N0:])
     # A Phase-1 failure is NOT infeasibility: -max_iter means the artificial
@@ -161,6 +163,33 @@ def _lp_phase2(prep: _LPPrep, c0, B, S, x, settings: Settings,
         c0, A1, b0p, d2, u2, B, S, x, real2,
         tol=settings.tol, max_iter=settings.max_iter, rule=settings.rule,
         pre_done=pre_done,
+    )
+    return st2, x2, B3, S3
+
+
+def _lp_phase2_dual(prep: _LPPrep, c0, b0p_i, B, S, x, settings: Settings,
+                    pre_done=None):
+    """Phase-2 via the DUAL simplex (solvers/simplex.py::
+    dual_simplex_bounded) from an optimal basis of the SAME cost but a
+    DIFFERENT right-hand side — the Phase-1-skipping restart for
+    RHS-parametric families. ``prep`` supplies the rhs-independent pieces
+    (A1, bounds, masks); ``b0p_i`` is the member's purged standardized rhs
+    (concat(b, g) masked by the family's keep rows). Artificial columns
+    stay pinned at [0, 0]: a basic artificial whose value moves off zero
+    under the new rhs simply violates its bounds and is pivoted out — the
+    dual method's built-in drive-out."""
+    from ssqp_tpu.solvers.simplex import dual_simplex_bounded
+
+    std, A1 = prep.std, prep.A1
+    Nt = A1.shape[1]
+    R = prep.b0p.shape[0]
+    N0 = Nt - R
+    d2 = std.d1
+    u2 = std.u1.at[N0:].set(0.0)
+    real2 = std.real.at[N0:].set(False)
+    st2, x2, B3, S3, _ = dual_simplex_bounded(
+        c0, A1, b0p_i, d2, u2, B, S, x, real2,
+        tol=settings.tol, max_iter=settings.max_iter, pre_done=pre_done,
     )
     return st2, x2, B3, S3
 

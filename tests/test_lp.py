@@ -303,3 +303,86 @@ class TestLPWaves:
         assert st[5] == 3
         ok = np.delete(np.arange(B), 5)
         assert (st[ok] >= 1).all() and (st[ok] != 3).all()
+
+
+class TestLPWavesRHS:
+    """RHS-parametric warm waves (round 5): dual-simplex restarts from the
+    grid neighbor's optimal basis when only b/g vary."""
+
+    def _family(self, N=20, M=3, J=5, B=32, seed=12):
+        import dataclasses
+
+        rng = np.random.default_rng(seed)
+        A = rng.standard_normal((M, N))
+        G = rng.standard_normal((J, N))
+        c = rng.standard_normal(N)
+        x0 = rng.uniform(0.2, 0.9, N)
+        x1 = rng.uniform(0.2, 0.9, N)
+        ts = np.linspace(0.0, 1.0, B)
+        Xc = x0[None, :] + ts[:, None] * (x1 - x0)[None, :]
+        bB = Xc @ A.T
+        gB = Xc @ G.T + rng.uniform(0.1, 1.0, J)[None, :]
+        P = make_lp(c, A, bB[0], G=G, g=gB[0], d=np.zeros(N),
+                    u=np.full(N, 2.0))
+        Pb = dataclasses.replace(P, b=jnp.asarray(bB), g=jnp.asarray(gB))
+        return Pb, ("c", "A", "G", "d", "u")
+
+    def test_matches_plain_batch(self):
+        from ssqp_tpu.parallel.batch import (
+            solve_lp_batch, solve_lp_batch_waves_rhs,
+        )
+
+        Pb, shared = self._family()
+        s = Settings()
+        r0 = solve_lp_batch(Pb, s, shared=shared)
+        r1 = solve_lp_batch_waves_rhs(Pb, s, shared, waves=8)
+        st0 = np.asarray(r0.status)
+        st1 = np.asarray(r1.status)
+        assert (st0 >= 1).all() and (st1 >= 1).all(), (st0.min(), st1.min())
+        c = np.asarray(Pb.c)
+        f0 = np.asarray(r0.x) @ c
+        f1 = np.asarray(r1.x) @ c
+        np.testing.assert_allclose(f1, f0, atol=1e-7)
+        uniq = (st0 == 1) & (st1 == 1)
+        np.testing.assert_allclose(np.asarray(r1.x)[uniq],
+                                   np.asarray(r0.x)[uniq], atol=1e-6)
+
+    def test_b_only_variation(self):
+        """g shared, only b varies (M-only grid)."""
+        import dataclasses
+        from ssqp_tpu.parallel.batch import (
+            solve_lp_batch, solve_lp_batch_waves_rhs,
+        )
+
+        Pb, _ = self._family()
+        Pb2 = dataclasses.replace(Pb, g=Pb.g[0])
+        shared = ("c", "A", "G", "g", "d", "u")
+        s = Settings()
+        r0 = solve_lp_batch(Pb2, s, shared=shared)
+        r1 = solve_lp_batch_waves_rhs(Pb2, s, shared, waves=4)
+        assert (np.asarray(r1.status) >= 1).all()
+        c = np.asarray(Pb2.c)
+        np.testing.assert_allclose(np.asarray(r1.x) @ c,
+                                   np.asarray(r0.x) @ c, atol=1e-7)
+
+    def test_infeasible_member(self):
+        """One grid member's rhs is unattainable -> status 0 for it,
+        neighbors unaffected (rescue + guard)."""
+        import dataclasses
+        from ssqp_tpu.parallel.batch import solve_lp_batch_waves_rhs
+
+        N, B = 8, 16
+        rng = np.random.default_rng(5)
+        A = np.vstack([np.ones(N), np.ones(N)])  # duplicated budget row
+        c = rng.standard_normal(N)
+        bB = np.tile(np.array([2.0, 2.0]), (B, 1))
+        bB[6] = [2.0, 3.0]  # inconsistent on the dependent row
+        P = make_lp(c, A, bB[0], d=np.zeros(N), u=np.ones(N))
+        Pb = dataclasses.replace(P, b=jnp.asarray(bB))
+        r = solve_lp_batch_waves_rhs(Pb, Settings(),
+                                     ("c", "A", "G", "g", "d", "u"),
+                                     waves=4)
+        st = np.asarray(r.status)
+        assert st[6] == 0, st
+        ok = np.delete(np.arange(B), 6)
+        assert (st[ok] >= 1).all(), st
