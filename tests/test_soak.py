@@ -378,3 +378,76 @@ def test_soak_grid_protocols():
             df = np.abs(fobj(x) - fr) / (1.0 + np.abs(fr))
             assert df.max() < 5e-5, (trial, name, df.max())
         jax.clear_caches()
+
+
+def test_soak_lp_grid_protocols():
+    """LP grid-protocol soak (round 5): random c-parametric and
+    rhs-parametric families through the warm-wave protocols
+    (solve_lp_batch_waves / solve_lp_batch_waves_rhs), differenced against
+    the plain vmapped two-phase batch and spot-checked against
+    scipy.linprog on a few members."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from scipy.optimize import linprog
+
+    from ssqp_tpu.parallel.batch import (
+        solve_lp_batch,
+        solve_lp_batch_waves,
+        solve_lp_batch_waves_rhs,
+    )
+
+    s = Settings()
+    rng = np.random.default_rng(7117)
+    N, M, J, B = 24, 3, 6, 32
+    for trial in range(4):
+        A = rng.standard_normal((M, N))
+        G = rng.standard_normal((J, N))
+        x0 = rng.uniform(0.15, 0.9, N)
+        x1 = rng.uniform(0.15, 0.9, N)
+        slack = rng.uniform(0.1, 1.0, J)
+        c0 = rng.standard_normal(N)
+        dc = rng.standard_normal(N) * 0.5
+        ts = np.linspace(0.0, 1.0, B)
+        P = make_lp(c0, A, A @ x0, G=G, g=G @ x0 + slack, d=np.zeros(N),
+                    u=np.full(N, 2.0))
+
+        # c-grid family
+        C = jnp.asarray(c0[None, :] + ts[:, None] * dc[None, :])
+        Pc = dataclasses.replace(P, c=C)
+        sh_c = ("A", "b", "G", "g", "d", "u")
+        r0 = solve_lp_batch(Pc, s, shared=sh_c)
+        r1 = solve_lp_batch_waves(Pc, s, sh_c, waves=8)
+        assert (np.asarray(r1.status) >= 1).all(), trial
+        f0 = (np.asarray(C) * np.asarray(r0.x)).sum(1)
+        f1 = (np.asarray(C) * np.asarray(r1.x)).sum(1)
+        np.testing.assert_allclose(f1, f0, atol=1e-7)
+
+        # rhs-grid family
+        Xc = x0[None, :] + ts[:, None] * (x1 - x0)[None, :]
+        bB = jnp.asarray(Xc @ A.T)
+        gB = jnp.asarray(Xc @ G.T + slack[None, :])
+        Pr = dataclasses.replace(P, b=bB, g=gB)
+        sh_r = ("c", "A", "G", "d", "u")
+        q0 = solve_lp_batch(Pr, s, shared=sh_r)
+        q1 = solve_lp_batch_waves_rhs(Pr, s, sh_r, waves=8)
+        assert (np.asarray(q1.status) >= 1).all(), trial
+        h0 = np.asarray(q0.x) @ c0
+        h1 = np.asarray(q1.x) @ c0
+        np.testing.assert_allclose(h1, h0, atol=1e-7)
+
+        # oracle spot checks on 3 members of each family
+        for k in (0, B // 2, B - 1):
+            ref = linprog(np.asarray(C[k]), A_ub=G, b_ub=np.asarray(P.g),
+                          A_eq=A, b_eq=np.asarray(P.b),
+                          bounds=[(0.0, 2.0)] * N, method="highs")
+            assert ref.success
+            assert abs(f1[k] - ref.fun) < 1e-7 * (1 + abs(ref.fun)), \
+                (trial, k)
+            refr = linprog(c0, A_ub=G, b_ub=np.asarray(gB[k]), A_eq=A,
+                           b_eq=np.asarray(bB[k]),
+                           bounds=[(0.0, 2.0)] * N, method="highs")
+            assert refr.success
+            assert abs(h1[k] - refr.fun) < 1e-7 * (1 + abs(refr.fun)), \
+                (trial, k)
+        jax.clear_caches()
