@@ -541,6 +541,44 @@ def solve_lp_batch_waves(
     )(P.c, st2, x2, B3, S3)
 
 
+def solve_lp_batch_auto(
+    P: LP, settings: Settings = None, shared: tuple = (),
+    waves: int = None, minimize: bool = True,
+) -> Result:
+    """ONE LP batch entry point applying the measured protocol map (the LP
+    twin of :func:`solve_qp_batch_auto`):
+
+    * c-parametric grid (everything but ``c`` shared) -> warm-wave simplex
+      (:func:`solve_lp_batch_waves`: shared Phase-1 + neighbor-basis
+      Phase-2; measured 1.53-1.57x at N=100 B=256);
+    * rhs-parametric grid (everything but ``b``/``g`` shared) ->
+      dual-simplex waves (:func:`solve_lp_batch_waves_rhs`; measured 2.3x);
+    * anything else -> the plain vmapped two-phase batch.
+
+    ``waves=None`` applies the rule (8 when the family structure allows and
+    the width divides); an explicit value forces it; ``waves=0`` forces the
+    plain batch. Unlike the QP protocol there is no cold-latency-floor
+    condition: the warm LP waves win at modest widths already (the Phase-1
+    sharing is structural, not latency amortization).
+    """
+    settings = settings or Settings.for_dtype(P.c.dtype)
+    sh = set(shared)
+    c_only = {"A", "b", "G", "g", "d", "u"} <= sh and "c" not in sh
+    rhs_only = ({"c", "A", "G", "d", "u"} <= sh
+                and ("b" not in sh or "g" not in sh))
+    B = next(getattr(P, f).shape[0] for f in ("c", "b", "g") if f not in sh)
+    if waves is None:
+        waves = 8 if ((c_only or rhs_only) and B % 8 == 0
+                      and B // 8 >= 4) else 0
+    if waves > 1 and c_only:
+        return solve_lp_batch_waves(P, settings, shared, waves=waves,
+                                    minimize=minimize)
+    if waves > 1 and rhs_only:
+        return solve_lp_batch_waves_rhs(P, settings, shared, waves=waves,
+                                        minimize=minimize)
+    return solve_lp_batch(P, settings, shared=shared, minimize=minimize)
+
+
 @partial(jax.jit, static_argnames=("settings", "shared", "waves", "minimize"))
 @highest_matmul
 def solve_lp_batch_waves_rhs(

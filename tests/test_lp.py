@@ -386,3 +386,59 @@ class TestLPWavesRHS:
         assert st[6] == 0, st
         ok = np.delete(np.arange(B), 6)
         assert (st[ok] >= 1).all(), st
+
+
+class TestLPAutoDispatch:
+    """solve_lp_batch_auto routes by family structure: c-grids to the warm
+    simplex waves, rhs-grids to the dual waves, mixed batches to plain."""
+
+    def test_routing(self):
+        from unittest import mock
+        from ssqp_tpu.parallel import batch as pb
+
+        P = make_lp(np.zeros(4), np.ones((1, 4)), np.ones(1),
+                    d=np.zeros(4), u=np.ones(4))
+        import dataclasses
+        Pb = dataclasses.replace(P, c=jnp.zeros((32, 4)))
+        calls = []
+        with mock.patch.object(pb, "solve_lp_batch_waves",
+                               side_effect=lambda *a, **k: calls.append("c")), \
+             mock.patch.object(pb, "solve_lp_batch_waves_rhs",
+                               side_effect=lambda *a, **k: calls.append("rhs")), \
+             mock.patch.object(pb, "solve_lp_batch",
+                               side_effect=lambda *a, **k: calls.append("plain")):
+            pb.solve_lp_batch_auto(Pb, Settings(),
+                                   ("A", "b", "G", "g", "d", "u"))
+            Pr = dataclasses.replace(P, b=jnp.ones((32, 1)))
+            pb.solve_lp_batch_auto(Pr, Settings(),
+                                   ("c", "A", "G", "g", "d", "u"))
+            # both c and b vary: no warm structure -> plain
+            Pm = dataclasses.replace(P, c=jnp.zeros((32, 4)),
+                                     b=jnp.ones((32, 1)))
+            pb.solve_lp_batch_auto(Pm, Settings(), ("A", "G", "g", "d", "u"))
+            # explicit waves=0 forces plain even on a c-grid
+            pb.solve_lp_batch_auto(Pb, Settings(),
+                                   ("A", "b", "G", "g", "d", "u"), waves=0)
+        assert calls == ["c", "rhs", "plain", "plain"], calls
+
+    def test_matches_plain_small(self):
+        import dataclasses
+        from ssqp_tpu.parallel.batch import (
+            solve_lp_batch, solve_lp_batch_auto,
+        )
+
+        rng = np.random.default_rng(2)
+        N, B = 10, 16
+        A = rng.standard_normal((2, N))
+        x0 = rng.uniform(0.2, 0.8, N)
+        C = jnp.asarray(rng.standard_normal((B, N)))
+        P = make_lp(C[0], A, A @ x0, d=np.zeros(N), u=np.ones(N))
+        Pb = dataclasses.replace(P, c=C)
+        shared = ("A", "b", "G", "g", "d", "u")
+        r0 = solve_lp_batch(Pb, Settings(), shared=shared)
+        r1 = solve_lp_batch_auto(Pb, Settings(), shared)
+        # an unsorted c batch still goes through waves (structure allows);
+        # objectives must agree regardless of grid sortedness
+        f0 = (np.asarray(C) * np.asarray(r0.x)).sum(1)
+        f1 = (np.asarray(C) * np.asarray(r1.x)).sum(1)
+        np.testing.assert_allclose(f1, f0, atol=1e-7)
