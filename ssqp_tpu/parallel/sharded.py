@@ -147,27 +147,30 @@ def solve_lp_sharded(
     mesh: Mesh,
     shared: tuple = (),
     axis="i",
-    engine: str = "simplex",
-    waves: int = 0,
+    engine: str = "auto",
+    waves: int = None,
     minimize: bool = True,
 ):
     """Solve an LP batch sharded over a device mesh — the LP twin of
     :func:`solve_qp_sharded` (the reference has no distributed backend at
     all; this is new capability, SURVEY §2).
 
-    ``engine`` selects the local solver: ``"simplex"`` (two-phase, the
-    size-robust default) or ``"cclp"`` (least-index criss-cross, incl. its
-    conditional basis repair). ``waves > 1`` with the simplex engine runs
-    the c-parametric warm-wave protocol on each device's local shard
-    (parallel/batch.py::solve_lp_batch_waves — shared Phase-1 +
-    neighbor-basis Phase-2; requires a c-only batch, contiguous sharding
-    keeps a sorted cost grid sorted per shard). Returns ``(Result, stats)``
-    with batch-sharded Result leaves and replicated mesh-wide aggregates:
-    ``solved`` (#status>0 — optimal/infinitely-many/unbounded verdicts),
-    ``infeasible`` (#status==0).
+    ``engine`` selects the local solver: ``"auto"`` (default — routes each
+    shard by family structure through
+    parallel/batch.py::solve_lp_batch_auto: c-grids to the warm-wave
+    simplex, rhs-grids to the dual-simplex waves, else the plain two-phase
+    batch), ``"simplex"`` (plain two-phase / explicit ``waves``), or
+    ``"cclp"`` (least-index criss-cross, incl. its conditional basis
+    repair). Contiguous sharding keeps a sorted parameter grid sorted per
+    shard, so the per-shard warm protocols stay valid. Returns
+    ``(Result, stats)`` with batch-sharded Result leaves and replicated
+    mesh-wide aggregates: ``solved`` (#status>0 —
+    optimal/infinitely-many/unbounded verdicts), ``infeasible``
+    (#status==0).
     """
     from ssqp_tpu.parallel.batch import (
         solve_lp_batch,
+        solve_lp_batch_auto,
         solve_lp_batch_cclp,
         solve_lp_batch_waves,
     )
@@ -181,7 +184,10 @@ def solve_lp_sharded(
     def local(Ps: LP):
         if engine == "cclp":
             res = solve_lp_batch_cclp(Ps, settings, shared=shared)
-        elif waves > 1:
+        elif engine == "auto":
+            res = solve_lp_batch_auto(Ps, settings, shared, waves=waves,
+                                      minimize=minimize)
+        elif waves is not None and waves > 1:
             res = solve_lp_batch_waves(Ps, settings, shared, waves=waves,
                                        minimize=minimize)
         else:

@@ -391,7 +391,8 @@ class TestShardedLP:
         return dataclasses.replace(P, c=C), ("A", "b", "G", "g", "d", "u")
 
     @pytest.mark.parametrize("engine,waves", [("simplex", 0),
-                                              ("simplex", 4), ("cclp", 0)])
+                                              ("simplex", 4), ("cclp", 0),
+                                              ("auto", None)])
     def test_sharded_matches_batch(self, engine, waves):
         from ssqp_tpu.parallel.batch import (
             solve_lp_batch, solve_lp_batch_cclp, solve_lp_batch_waves,
@@ -405,7 +406,7 @@ class TestShardedLP:
                                       engine=engine, waves=waves)
         if engine == "cclp":
             ref = solve_lp_batch_cclp(Pb, s, shared=shared)
-        elif waves > 1:
+        elif waves is not None and waves > 1:
             # per-shard waves (width 4 per device) vs the full-batch plain
             # solve: same objectives, verdicts
             ref = solve_lp_batch(Pb, s, shared=shared)
