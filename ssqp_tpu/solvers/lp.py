@@ -245,6 +245,104 @@ def _lp_finish(prep: _LPPrep, start: _LPStart, c, c0, st2, x2, B3, S3,
     return _attach_lp_duals(Result(xo, S, status), c, A, G, minimize)
 
 
+def _std_basis_from_result(prep: _LPPrep, S_prior, x_prior, N: int, J: int,
+                           tol):
+    """Map a user-facing ``(S, x)`` back to a standardized basis, status
+    vector and point — the inverse of phase1.recover_x_status, with
+    degenerate basis cardinality repaired by the masked independent-column
+    selection (preferring the columns the prior statuses mark basic).
+    Used by the warm-restart API: the returned basis feeds the DUAL
+    simplex, which tolerates primal infeasibility by construction."""
+    from ssqp_tpu.types import UP
+
+    std, A1 = prep.std, prep.A1
+    dtype = A1.dtype
+    Nt = A1.shape[1]
+    R = prep.b0p.shape[0]
+    N0 = Nt - R
+    Sx = S_prior[:N]
+    Se = S_prior[N:]
+    x = x_prior.astype(dtype)
+    # standardized orientation (flip: (-inf, u] vars were negated; fv: free
+    # vars were split into positive/negative parts)
+    xs = jnp.where(std.flip, -x, x)
+    xpos = jnp.where(std.fv, jnp.maximum(xs, 0.0), xs)
+    xneg = jnp.where(std.fv, jnp.maximum(-xs, 0.0), 0.0)
+    Sv = jnp.where(std.flip & (Sx == UP), DN, Sx)
+    pos_in = (Sv == IN) & (~std.fv | (xs >= 0))
+    neg_in = std.fv & (Sv == IN) & (xs < 0)
+    # inactive inequality rows carry a basic (strictly positive) slack
+    slack_in = (Se == OE) if J > 0 else jnp.zeros((0,), bool)
+    want = jnp.concatenate(
+        [pos_in, slack_in, neg_in, jnp.zeros((R,), bool)])
+    prio = jnp.where(want, 0, jnp.where(jnp.arange(Nt) < N0, 1, 2))
+    keep = masked_independent_cols(A1, jnp.ones((Nt,), bool), prio,
+                                   jnp.asarray(tol, dtype))
+    B0 = jnp.nonzero(keep, size=R, fill_value=0)[0].astype(jnp.int32)
+    # nonbasic statuses follow the prior where meaningful (a nonbasic var
+    # at its upper bound must carry UP so the dual reduced-cost signs and
+    # values line up); everything else sits at DN
+    nb_var = jnp.where((Sv == UP) & ~std.flip, UP, DN)
+    nb = jnp.concatenate([
+        nb_var, jnp.full((J,), DN, jnp.int8).astype(nb_var.dtype),
+        jnp.full((N,), DN, nb_var.dtype), jnp.full((R,), DN, nb_var.dtype),
+    ])
+    S0 = jnp.where(keep, IN, nb).astype(jnp.int8)
+    # slack/artificial entries start at 0: the dual loop only reads
+    # NONBASIC values (snapped onto their bounds below); basic values are
+    # recomputed from the fresh inverse every iteration
+    x0 = jnp.concatenate([xpos, jnp.zeros((J,), dtype), xneg,
+                          jnp.zeros((R,), dtype)])
+    # snap nonbasic entries exactly onto the bound their status names
+    x0 = jnp.where(S0 == DN, std.d1,
+                   jnp.where(S0 == UP, jnp.where(jnp.isfinite(std.u1),
+                                                 std.u1, x0), x0))
+    return B0, S0, x0
+
+
+@partial(jax.jit, static_argnames=("settings", "minimize"))
+@highest_matmul
+def simplex_lp_warm(P: LP, S_prior, x_prior, settings: Settings,
+                    minimize: bool = True) -> Result:
+    """Warm-restarted LP solve from a prior solution's statuses
+    (reference-style solveQP(Q, S, x0) ergonomics for the LP side — the
+    reference's SimplexLP never exposes its kernels' warm-start state,
+    Simplex.jl:831).
+
+    The prior basis is rebuilt in standardized coordinates and handed to
+    the DUAL simplex: against a problem with the same cost row it is
+    dual-feasible regardless of how b/g moved, so the solve skips Phase-1
+    entirely and just re-pivots to feasibility (typically a handful of
+    pivots for a small rhs change). If the warm start is rejected (cost
+    row changed -> dual-infeasible entry gate) or stalls, one full
+    two-phase solve runs under `lax.cond` as the fallback — the result is
+    never worse than calling :func:`simplex_lp` cold."""
+    N, J = P.N, P.J
+    prep = _lp_prep(P.A, P.G, P.b, P.g, P.d, P.u, settings)
+    c0 = _lp_cost(prep, P.c, N, J, minimize)
+    B0, S0, x0 = _std_basis_from_result(prep, jnp.asarray(S_prior, jnp.int8),
+                                        jnp.asarray(x_prior), N, J,
+                                        settings.tol)
+    st2, x2, B3, S3 = _lp_phase2_dual(prep, c0, prep.b0p, B0, S0, x0,
+                                      settings)
+
+    def cold(_):
+        start = _lp_phase1(prep, settings)
+        st, xx, Bb, Sb = _lp_phase2(prep, c0, start.B, start.S, start.x,
+                                    settings)
+        return (st, xx, Bb, Sb, start.p1_fail, start.p1_code,
+                start.infeasible)
+
+    def warm(_):
+        f = jnp.asarray(False)
+        return (st2, x2, B3, S3, f, jnp.asarray(0, jnp.int32),
+                prep.inconsistent)
+
+    st, xx, Bb, Sb, pf, pc, infz = jax.lax.cond(st2 < 0, cold, warm, None)
+    return _lp_finish(prep, _LPStart(Bb, Sb, xx, pf, pc, infz), P.c, c0,
+                      st, xx, Bb, Sb, N, J, settings, minimize, P.A, P.G)
+
+
 @partial(jax.jit, static_argnames=("settings", "minimize"))
 @highest_matmul
 def simplex_lp_traced(P: LP, settings: Settings, minimize: bool = True) -> Result:
@@ -287,8 +385,15 @@ def _attach_lp_duals(res: Result, c, A, G, minimize: bool) -> Result:
     return Result(res.x, res.S, res.status, lam, gamma)
 
 
-def simplex_lp(P: LP, *, settings: Settings | None = None, minimize: bool = True) -> Result:
-    """Solve an LP by two-phase simplex (reference SimplexLP, Simplex.jl:831)."""
+def simplex_lp(P: LP, *, settings: Settings | None = None,
+               minimize: bool = True, warm_from: Result | None = None) -> Result:
+    """Solve an LP by two-phase simplex (reference SimplexLP, Simplex.jl:831).
+
+    ``warm_from`` accepts a prior :class:`Result` (e.g. of a related
+    problem with a different right-hand side): the solve then restarts the
+    DUAL simplex from the prior basis, skipping Phase-1, with a traced
+    full two-phase fallback if the warm start is rejected (see
+    :func:`simplex_lp_warm`)."""
     settings = settings or Settings.for_dtype(P.c.dtype)
     if P.mc <= 0:
         S = jnp.concatenate(
@@ -299,6 +404,9 @@ def simplex_lp(P: LP, *, settings: Settings | None = None, minimize: bool = True
         from ssqp_tpu.solvers.boxlp import box_lp
 
         return box_lp(P, settings=settings, minimize=minimize)
+    if warm_from is not None:
+        return simplex_lp_warm(P, warm_from.S, warm_from.x, settings,
+                               minimize)
     return simplex_lp_traced(P, settings, minimize)
 
 

@@ -442,3 +442,104 @@ class TestLPAutoDispatch:
         f0 = (np.asarray(C) * np.asarray(r0.x)).sum(1)
         f1 = (np.asarray(C) * np.asarray(r1.x)).sum(1)
         np.testing.assert_allclose(f1, f0, atol=1e-7)
+
+
+class TestSimplexWarmRestart:
+    """simplex_lp(warm_from=...) (round 5): dual-simplex restart from a
+    prior Result — solveQP(Q,S,x0)-style ergonomics for the LP side."""
+
+    def _problem(self, b_shift=0.0, seed=21, N=16, M=2, J=4):
+        rng = np.random.default_rng(seed)
+        A = rng.standard_normal((M, N))
+        G = rng.standard_normal((J, N))
+        x0 = rng.uniform(0.2, 0.8, N)
+        b = A @ x0 + b_shift * rng.standard_normal(M) * 0.05
+        g = G @ x0 + rng.uniform(0.1, 1.0, J)
+        c = rng.standard_normal(N)
+        return make_lp(c, A, b, G=G, g=g, d=np.zeros(N), u=np.full(N, 2.0))
+
+    def test_warm_matches_cold_after_rhs_change(self):
+        P0 = self._problem(0.0)
+        r0 = simplex_lp(P0)
+        assert int(r0.status) >= 1
+        P1 = self._problem(1.0)  # same (c, A, G, d, u), moved b
+        cold = simplex_lp(P1)
+        warm = simplex_lp(P1, warm_from=r0)
+        assert int(warm.status) >= 1
+        c = np.asarray(P1.c)
+        np.testing.assert_allclose(float(c @ np.asarray(warm.x)),
+                                   float(c @ np.asarray(cold.x)), atol=1e-8)
+        x = np.asarray(warm.x)
+        assert np.abs(np.asarray(P1.A) @ x - np.asarray(P1.b)).max() < 1e-8
+        assert (np.asarray(P1.G) @ x - np.asarray(P1.g)).max() < 1e-8
+
+    def test_warm_same_problem_is_immediate(self):
+        P = self._problem(0.0)
+        r0 = simplex_lp(P)
+        warm = simplex_lp(P, warm_from=r0)
+        assert int(warm.status) >= 1
+        c = np.asarray(P.c)
+        np.testing.assert_allclose(float(c @ np.asarray(warm.x)),
+                                   float(c @ np.asarray(r0.x)), atol=1e-9)
+
+    def test_cost_change_falls_back(self):
+        """A changed cost row breaks dual feasibility: the entry gate must
+        reject the warm start and the traced fallback must still produce
+        the right optimum."""
+        import dataclasses
+
+        P0 = self._problem(0.0)
+        r0 = simplex_lp(P0)
+        rng = np.random.default_rng(77)
+        P1 = dataclasses.replace(P0, c=jnp.asarray(rng.standard_normal(16)))
+        cold = simplex_lp(P1)
+        warm = simplex_lp(P1, warm_from=r0)
+        assert int(warm.status) >= 1
+        c = np.asarray(P1.c)
+        np.testing.assert_allclose(float(c @ np.asarray(warm.x)),
+                                   float(c @ np.asarray(cold.x)), atol=1e-8)
+
+    def test_warm_with_free_and_flipped_vars(self):
+        """The standardized-basis reconstruction must handle free (split)
+        and (-inf, u] (flipped) variables."""
+        rng = np.random.default_rng(31)
+        N, M = 8, 3
+        A = rng.standard_normal((M, N))
+        b = A @ rng.standard_normal(N)
+        c = rng.standard_normal(N)
+        d = np.full(N, -np.inf)
+        u = np.full(N, np.inf)
+        d[:3] = 0.0  # 3 standard, 2 flipped, 3 free
+        u[:5] = 4.0
+        G = np.vstack([np.eye(N), -np.eye(N)])
+        g = np.full(2 * N, 6.0)
+        P0 = make_lp(c, A, b, G=G, g=g, d=d, u=u)
+        r0 = simplex_lp(P0)
+        if int(r0.status) < 1:
+            pytest.skip("draw not optimal")
+        import dataclasses
+
+        P1 = dataclasses.replace(
+            P0, b=P0.b + jnp.asarray(0.03 * rng.standard_normal(M)))
+        cold = simplex_lp(P1)
+        warm = simplex_lp(P1, warm_from=r0)
+        assert int(warm.status) == int(cold.status) or (
+            int(warm.status) >= 1 and int(cold.status) >= 1)
+        if int(cold.status) >= 1:
+            np.testing.assert_allclose(
+                float(c @ np.asarray(warm.x)),
+                float(c @ np.asarray(cold.x)), atol=1e-7)
+
+    def test_infeasible_after_shift(self):
+        """A warm restart into an infeasible problem must report 0."""
+        import dataclasses
+
+        N = 6
+        A = np.ones((1, N))
+        c = np.arange(1.0, N + 1)
+        P0 = make_lp(c, A, np.array([2.0]), d=np.zeros(N), u=np.ones(N))
+        r0 = simplex_lp(P0)
+        assert int(r0.status) >= 1
+        P1 = dataclasses.replace(P0, b=jnp.array([float(N) + 1.0]))
+        warm = simplex_lp(P1, warm_from=r0)
+        assert int(warm.status) == 0, int(warm.status)
