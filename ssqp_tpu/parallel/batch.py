@@ -383,6 +383,13 @@ def solve_qp_batch_tail_refined(
 
     def pass_body(carry):
         x, rs, p = carry
+        # static width: a pass may gather below-bound or failed (-inf)
+        # instances as fill. Harmless either way: refine_result_cg's
+        # acceptance guard (refine.py: ok requires res.status > 0, primal
+        # feasibility and a not-worse objective) returns the ORIGINAL x
+        # for failed instances and can only improve valid ones; fill only
+        # costs sweeps, and passes stop as soon as nothing exceeds the
+        # bound.
         idx = jnp.argsort(-rs)[:K]
         Qk = dataclasses.replace(
             Q, **{f: getattr(Q, f)[idx] for f in batched_fields})
@@ -566,10 +573,13 @@ def solve_lp_batch_auto(
     c_only = {"A", "b", "G", "g", "d", "u"} <= sh and "c" not in sh
     rhs_only = ({"c", "A", "G", "d", "u"} <= sh
                 and ("b" not in sh or "g" not in sh))
-    B = next(getattr(P, f).shape[0] for f in ("c", "b", "g") if f not in sh)
+    # families batched over something else entirely (d/u or A/G) have no
+    # warm structure here — B stays None and the plain batch handles them
+    B = next((getattr(P, f).shape[0] for f in ("c", "b", "g")
+              if f not in sh), None)
     if waves is None:
-        waves = 8 if ((c_only or rhs_only) and B % 8 == 0
-                      and B // 8 >= 4) else 0
+        waves = 8 if (B is not None and (c_only or rhs_only)
+                      and B % 8 == 0 and B // 8 >= 4) else 0
     if waves > 1 and c_only:
         return solve_lp_batch_waves(P, settings, shared, waves=waves,
                                     minimize=minimize)

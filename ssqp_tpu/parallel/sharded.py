@@ -175,6 +175,16 @@ def solve_lp_sharded(
         solve_lp_batch_waves,
     )
 
+    if engine not in ("auto", "simplex", "cclp"):
+        raise ValueError(f"unknown engine {engine!r}: "
+                         "expected 'auto', 'simplex' or 'cclp'")
+    if engine == "cclp" and not minimize:
+        # the criss-cross path has no sense flag (reference solveLP only
+        # minimizes, CCLP.jl); silently returning the minimizer for a
+        # maximize request would be a wrong answer with status 1
+        raise ValueError("engine='cclp' only minimizes; negate c or use "
+                         "engine='simplex'/'auto' for maximize")
+
     in_specs = _lp_spec_tree(Pb, shared, axis)
     out_specs = (
         Result(P(axis), P(axis), P(axis), P(axis), P(axis)),

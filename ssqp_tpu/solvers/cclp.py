@@ -241,7 +241,12 @@ def cclp_repair(c1, A1, b1, st: _CCState, *, tol, max_iter, ms_mask):
         jnp.where(need, jnp.where(keep, IN, DN).astype(jnp.int8), st.S),
         st.xB,
         jnp.where(need, invB2, st.invB),
-        st.it, st.done & ~need, st.status,
+        # FRESH iteration budget for repaired instances: a drift exit near
+        # the cap would otherwise leave the second chance near-budgetless
+        # exactly on the long ill-conditioned walks it exists for (review
+        # finding, round 5); unrepaired instances keep their count.
+        jnp.where(need, 0, st.it),
+        st.done & ~need, st.status,
     )
     return jax.lax.while_loop(
         lambda s: (~s.done) & (s.it < max_iter), body, st)

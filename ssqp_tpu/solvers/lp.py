@@ -326,6 +326,33 @@ def simplex_lp_warm(P: LP, S_prior, x_prior, settings: Settings,
     st2, x2, B3, S3 = _lp_phase2_dual(prep, c0, prep.b0p, B0, S0, x0,
                                       settings)
 
+    # post-exit dual certificate: the dual loop maintains reduced-cost
+    # signs by its ratio test, but accumulated pivot drift could leave the
+    # exit basis dual-infeasible beyond tolerance — and a primal-feasible,
+    # dual-infeasible basis shipped as "optimal" is the silent-wrong-answer
+    # mode the docstring guarantee rules out. One (R, R) solve verifies the
+    # exit; violation joins the fallback predicate. (Review finding, r5.)
+    A1 = prep.A1
+    Nt = A1.shape[1]
+    R = prep.b0p.shape[0]
+    N0 = Nt - R
+    std = prep.std
+    dtype = A1.dtype
+    A_B3 = A1[:, B3]
+    w3 = jnp.linalg.solve(A_B3.T, c0[B3])
+    h3 = c0 - A1.T @ w3
+    in_b3 = jnp.zeros((Nt,), bool).at[B3].set(True)
+    u2 = std.u1.at[N0:].set(0.0)
+    real2 = std.real.at[N0:].set(False)
+    dviol3 = jnp.where(
+        (~in_b3) & real2 & (u2 - std.d1 > 0),
+        jnp.where(S3 == DN, -h3, jnp.where(S3 == UP, h3, 0.0)), 0.0)
+    dual_tol = (100.0 * jnp.asarray(settings.tol, dtype)
+                * (1.0 + jnp.max(jnp.abs(c0))))
+    exit_bad = ((st2 == 1) | (st2 == 2)) & (
+        (jnp.max(dviol3, initial=0.0) > dual_tol)
+        | ~jnp.all(jnp.isfinite(w3)))
+
     def cold(_):
         start = _lp_phase1(prep, settings)
         st, xx, Bb, Sb = _lp_phase2(prep, c0, start.B, start.S, start.x,
@@ -338,7 +365,8 @@ def simplex_lp_warm(P: LP, S_prior, x_prior, settings: Settings,
         return (st2, x2, B3, S3, f, jnp.asarray(0, jnp.int32),
                 prep.inconsistent)
 
-    st, xx, Bb, Sb, pf, pc, infz = jax.lax.cond(st2 < 0, cold, warm, None)
+    st, xx, Bb, Sb, pf, pc, infz = jax.lax.cond(
+        (st2 < 0) | exit_bad, cold, warm, None)
     return _lp_finish(prep, _LPStart(Bb, Sb, xx, pf, pc, infz), P.c, c0,
                       st, xx, Bb, Sb, N, J, settings, minimize, P.A, P.G)
 

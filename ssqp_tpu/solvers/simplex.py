@@ -329,15 +329,21 @@ def dual_simplex_bounded(
         infeasible = anyv & ~anye  # Farkas via the violated row
 
         # ---- dual min-ratio over eligible columns -----------------------
+        # The entering choice IS the dual ratio test: picking anything but
+        # a min-ratio column flips the true min-ratio column's reduced-cost
+        # sign and silently breaks the dual-feasibility invariant (a
+        # suboptimal basis could then exit "optimal"). Bland's anti-cycling
+        # for the DUAL method is least-index TIE-BREAKING among min-ratio
+        # columns — which argmin already provides (first minimum wins) —
+        # plus the least-index LEAVING row above; there is no valid
+        # ratio-free entering switch like the primal kernel's.
         ht = jnp.where(S == DN, h, -h)  # >= -tol by dual feasibility
         ratio = jnp.where(
             elig,
             jnp.maximum(ht, 0.0) / jnp.maximum(jnp.abs(alpha), tol),
             _INF,
         )
-        k_ratio = jnp.argmin(ratio)
-        k_bland = jnp.argmin(jnp.where(elig, arange, Nt + 1))
-        k = jnp.where(bland, k_bland, k_ratio).astype(jnp.int32)
+        k = jnp.argmin(ratio).astype(jnp.int32)
 
         ek = (arange == k).astype(dtype)
         p = invB @ (Amat @ ek)
@@ -375,7 +381,13 @@ def dual_simplex_bounded(
 
     invB0 = jnp.linalg.inv(Amat[:, B0])
     # entry gate: materially dual-infeasible starts produce garbage
-    # verdicts — reject them up front so callers rescue via the primal path
+    # verdicts — reject them up front so callers rescue via the primal
+    # path. Scale-aware threshold at 100x solver tol: a prior OPTIMUM of
+    # the same cost row satisfies dual feasibility to ~tol plus evaluation
+    # noise, while a CHANGED cost row violates it at the size of the
+    # change — the old sqrt(tol) gate let ~1e-4-level cost drift through
+    # at the f64 tier and the loop would then ship a suboptimal basis as
+    # "optimal" (review finding, round 5).
     w0 = invB0.T @ c[B0]
     h0 = c - Amat.T @ w0
     in_b0 = jnp.zeros((Nt,), bool).at[B0].set(True)
@@ -383,7 +395,8 @@ def dual_simplex_bounded(
         (~in_b0) & real & (ud > 0),
         jnp.where(S0 == DN, -h0, h0), 0.0,
     )
-    bad_start = (jnp.max(dviol, initial=0.0) > jnp.sqrt(tol)) | ~jnp.all(
+    dual_tol = 100.0 * tol * (1.0 + jnp.max(jnp.abs(c)))
+    bad_start = (jnp.max(dviol, initial=0.0) > dual_tol) | ~jnp.all(
         jnp.isfinite(invB0))
     pd = jnp.asarray(False) if pre_done is None else jnp.asarray(pre_done, bool)
     st0 = SimplexState(

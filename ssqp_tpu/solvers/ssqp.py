@@ -656,11 +656,9 @@ def _waterfill_seed(Q: QP):
     For ``min 1/2 x'Dx + q'x  s.t.  a'x = beta, d <= x <= u`` with
     D = diag(V), stationarity gives x_i(lam) = clip((-q_i - lam*a_i)/D_i,
     d_i, u_i) and h(lam) = a'x(lam) is continuous, piecewise linear and
-    strictly decreasing wherever a variable is free — so the dual root
-    h(lam*) = beta is found EXACTLY by sorting the 2N clip breakpoints and
-    prefix-summing the per-segment (constant, slope) deltas: one sort + two
-    cumsums, no sequential loop (a bisection would add ~50 dependent steps
-    to the PDAS sequential chain this seed exists to shorten).
+    strictly decreasing wherever a variable is free — the seed solves the
+    dual root h(lam*) = beta and reads the active set off the clip
+    pattern at lam*.
 
     Why it helps: PDAS round 1 from all-IN pins by the UNCONSTRAINED-box
     violations of the equality-only solve, which over/under-pins under tight

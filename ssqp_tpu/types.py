@@ -124,8 +124,10 @@ class Settings:
     pdas_precond: bool = True
     # Seed PDAS identification with the EXACT active set of the separable
     # (diagonal) model when the problem is a single-equality box QP
-    # (solvers/ssqp.py::_waterfill_seed: one sort + prefix sums on the 2N
-    # clip breakpoints). Cuts the full-activity identification rounds from
+    # (solvers/ssqp.py::_waterfill_seed — SORT-FREE parallel bracket
+    # subdivision on the dual; a sorted-breakpoint variant was measured
+    # ~15 ms slower in batched TPU sorts and rejected). Cuts the
+    # full-activity identification rounds from
     # ~5 to ~2 on tight-box frontier batches (measured still-changing
     # profile 256/249/237/202/127/14 -> 256/236/55/2 at N=256, identical
     # final statuses); instances where the model does not apply (M != 1,

@@ -543,3 +543,23 @@ class TestSimplexWarmRestart:
         P1 = dataclasses.replace(P0, b=jnp.array([float(N) + 1.0]))
         warm = simplex_lp(P1, warm_from=r0)
         assert int(warm.status) == 0, int(warm.status)
+
+    def test_small_cost_drift_still_correct(self):
+        """Regression (round-5 review): a cost row perturbed BELOW the old
+        sqrt(tol) entry gate but above solver tol must not ship a
+        suboptimal vertex as optimal — the scale-aware gate (or the
+        post-exit dual certificate) must force the two-phase fallback."""
+        import dataclasses
+
+        P0 = self._problem(0.0)
+        r0 = simplex_lp(P0)
+        rng = np.random.default_rng(99)
+        P1 = dataclasses.replace(
+            P0, c=P0.c + jnp.asarray(5e-5 * rng.standard_normal(16)))
+        cold = simplex_lp(P1)
+        warm = simplex_lp(P1, warm_from=r0)
+        assert int(warm.status) >= 1
+        c = np.asarray(P1.c)
+        np.testing.assert_allclose(float(c @ np.asarray(warm.x)),
+                                   float(c @ np.asarray(cold.x)),
+                                   atol=1e-8)
