@@ -17,7 +17,11 @@ steady-state win on TPU (N=100, batch 256, chained dispatch) is 1.57x
 (6.2k vs 3.9k LP/s — see bench_suite.py config2's grid columns).
 """
 import dataclasses
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
@@ -27,24 +31,28 @@ import jax.numpy as jnp
 from ssqp_tpu import Settings, make_lp
 from ssqp_tpu.parallel.batch import solve_lp_batch, solve_lp_batch_waves
 
+# float32 end to end with the f32-tier Settings: the f64 LP path needs a
+# CPU backend (TPU implements LU only in F32 — see the project notes), so
+# an example meant to run on either device sticks to the f32 tier
 N, M, J, B = 60, 4, 12, 64
 rng = np.random.default_rng(3)
-x0 = rng.uniform(0.1, 1.0, N)
-A = rng.standard_normal((M, N))
-G = rng.standard_normal((J, N))
+x0 = rng.uniform(0.1, 1.0, N).astype(np.float32)
+A = rng.standard_normal((M, N)).astype(np.float32)
+G = rng.standard_normal((J, N)).astype(np.float32)
 b = A @ x0
-g = G @ x0 + rng.uniform(0.1, 1.0, J)
+g = (G @ x0 + rng.uniform(0.1, 1.0, J)).astype(np.float32)
 
 # sorted cost grid: c(t) = c0 + t * dc, t in [0, 1]
-c0 = rng.standard_normal(N)
-dc = rng.standard_normal(N) * 0.5
-ts = np.linspace(0.0, 1.0, B)
+c0 = rng.standard_normal(N).astype(np.float32)
+dc = (rng.standard_normal(N) * 0.5).astype(np.float32)
+ts = np.linspace(0.0, 1.0, B).astype(np.float32)
 C = jnp.asarray(c0[None, :] + ts[:, None] * dc[None, :])
 
-P = make_lp(c0, A, b, G=G, g=g, d=np.zeros(N), u=np.full(N, 2.0))
+P = make_lp(c0, A, b, G=G, g=g, d=np.zeros(N, np.float32),
+            u=np.full(N, 2.0, np.float32), dtype=np.float32)
 Pb = dataclasses.replace(P, c=C)
 shared = ("A", "b", "G", "g", "d", "u")
-s = Settings()
+s = Settings.for_dtype(jnp.float32)
 
 t0 = time.perf_counter()
 r_plain = solve_lp_batch(Pb, s, shared=shared)

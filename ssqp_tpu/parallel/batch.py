@@ -739,12 +739,21 @@ def solve_lp_batch_waves_rhs(
     def guard(r, b_i, g_i):
         x = r.x
         v = jnp.zeros((), P.c.dtype)
+        scale = jnp.ones((), P.c.dtype)
         if M > 0:
             v = jnp.maximum(v, jnp.max(jnp.abs(P.A @ x - b_i)))
+            scale = jnp.maximum(scale, jnp.max(jnp.abs(b_i)))
         if J > 0:
             v = jnp.maximum(v, jnp.max(P.G @ x - g_i))
-        scale = 1.0 + (jnp.max(jnp.abs(b_i)) if M > 0 else 0.0)
-        bad_i = (r.status >= 1) & (v > 100.0 * tol * scale)
+            # the residual is measured against g too: a b-only scale
+            # falsely demoted genuine optima on large-|g| families
+            # (review finding, round 5)
+            scale = jnp.maximum(scale, jnp.max(jnp.abs(g_i)))
+        # only OPTIMAL verdicts (1/2) certify a point to re-check; an
+        # unbounded exit's x is the last iterate, not a certificate —
+        # demoting a 3 to "infeasible" would be categorically wrong
+        bad_i = ((r.status == 1) | (r.status == 2)) & (
+            v > 100.0 * tol * (1.0 + scale))
         status = jnp.where(bad_i, 0, r.status).astype(jnp.int32)
         zero = jnp.zeros_like(x)
         return Result(

@@ -332,25 +332,24 @@ def simplex_lp_warm(P: LP, S_prior, x_prior, settings: Settings,
     # dual-infeasible basis shipped as "optimal" is the silent-wrong-answer
     # mode the docstring guarantee rules out. One (R, R) solve verifies the
     # exit; violation joins the fallback predicate. (Review finding, r5.)
+    from ssqp_tpu.solvers.simplex import (
+        dual_feasibility_violation, dual_gate_tol,
+    )
+
     A1 = prep.A1
     Nt = A1.shape[1]
     R = prep.b0p.shape[0]
     N0 = Nt - R
     std = prep.std
     dtype = A1.dtype
-    A_B3 = A1[:, B3]
-    w3 = jnp.linalg.solve(A_B3.T, c0[B3])
-    h3 = c0 - A1.T @ w3
+    w3 = jnp.linalg.solve(A1[:, B3].T, c0[B3])
     in_b3 = jnp.zeros((Nt,), bool).at[B3].set(True)
     u2 = std.u1.at[N0:].set(0.0)
     real2 = std.real.at[N0:].set(False)
-    dviol3 = jnp.where(
-        (~in_b3) & real2 & (u2 - std.d1 > 0),
-        jnp.where(S3 == DN, -h3, jnp.where(S3 == UP, h3, 0.0)), 0.0)
-    dual_tol = (100.0 * jnp.asarray(settings.tol, dtype)
-                * (1.0 + jnp.max(jnp.abs(c0))))
+    dviol3 = dual_feasibility_violation(c0, A1, w3, S3, ~in_b3, real2,
+                                        u2 - std.d1)
     exit_bad = ((st2 == 1) | (st2 == 2)) & (
-        (jnp.max(dviol3, initial=0.0) > dual_tol)
+        (dviol3 > dual_gate_tol(c0, jnp.asarray(settings.tol, dtype)))
         | ~jnp.all(jnp.isfinite(w3)))
 
     def cold(_):

@@ -236,6 +236,28 @@ def bounded_simplex(
     return status, st.x, st.B, st.S, st.it
 
 
+def dual_feasibility_violation(c, Amat, w, S, nonbasic, real, ud):
+    """Max signed reduced-cost violation over eligible nonbasic columns —
+    the dual-feasibility measure shared by :func:`dual_simplex_bounded`'s
+    entry gate and the warm-restart API's post-exit certificate
+    (solvers/lp.py::simplex_lp_warm). One definition keeps the two gates
+    in lockstep: both implement the scale-aware 100x-tol rule of
+    :func:`dual_gate_tol`."""
+    h = c - Amat.T @ w
+    return jnp.max(
+        jnp.where(nonbasic & real & (ud > 0),
+                  jnp.where(S == DN, -h, jnp.where(S == UP, h, 0.0)), 0.0),
+        initial=0.0)
+
+
+def dual_gate_tol(c, tol):
+    """Dual-infeasibility threshold: 100x solver tol, cost-scale-aware
+    (a prior optimum of the SAME cost satisfies dual feasibility to ~tol;
+    a changed cost violates at the size of the change — sqrt(tol) was
+    measured to admit ~1e-4 drift at the f64 tier)."""
+    return 100.0 * tol * (1.0 + jnp.max(jnp.abs(c)))
+
+
 def dual_simplex_bounded(
     c, Amat, b, d, u, B0, S0, x0, real, *, tol, max_iter, pre_done=None,
 ):
@@ -389,14 +411,9 @@ def dual_simplex_bounded(
     # at the f64 tier and the loop would then ship a suboptimal basis as
     # "optimal" (review finding, round 5).
     w0 = invB0.T @ c[B0]
-    h0 = c - Amat.T @ w0
     in_b0 = jnp.zeros((Nt,), bool).at[B0].set(True)
-    dviol = jnp.where(
-        (~in_b0) & real & (ud > 0),
-        jnp.where(S0 == DN, -h0, h0), 0.0,
-    )
-    dual_tol = 100.0 * tol * (1.0 + jnp.max(jnp.abs(c)))
-    bad_start = (jnp.max(dviol, initial=0.0) > dual_tol) | ~jnp.all(
+    dviol = dual_feasibility_violation(c, Amat, w0, S0, ~in_b0, real, ud)
+    bad_start = (dviol > dual_gate_tol(c, tol)) | ~jnp.all(
         jnp.isfinite(invB0))
     pd = jnp.asarray(False) if pre_done is None else jnp.asarray(pre_done, bool)
     st0 = SimplexState(

@@ -563,3 +563,39 @@ class TestSimplexWarmRestart:
         np.testing.assert_allclose(float(c @ np.asarray(warm.x)),
                                    float(c @ np.asarray(cold.x)),
                                    atol=1e-8)
+
+
+class TestRHSGuardScale:
+    """Regression (round-5 review): the waves_rhs original-constraint
+    guard's tolerance must scale with |g| too — a b-only scale falsely
+    demoted genuine optima to infeasible on large-|g| families."""
+
+    def test_large_g_family_not_demoted(self):
+        import dataclasses
+        from ssqp_tpu.parallel.batch import (
+            solve_lp_batch, solve_lp_batch_waves_rhs,
+        )
+
+        rng = np.random.default_rng(42)
+        N, J, B = 12, 6, 16
+        SCALE = 2e3
+        G = SCALE * rng.standard_normal((J, N))
+        c = rng.standard_normal(N)
+        x0 = rng.uniform(0.2, 0.9, N)
+        x1 = rng.uniform(0.2, 0.9, N)
+        ts = np.linspace(0.0, 1.0, B)
+        Xc = x0[None, :] + ts[:, None] * (x1 - x0)[None, :]
+        gB = Xc @ G.T + SCALE * rng.uniform(0.1, 1.0, J)[None, :]
+        P = make_lp(c, np.zeros((0, N)), np.zeros(0), G=G, g=gB[0],
+                    d=np.zeros(N), u=np.full(N, 2.0))
+        Pb = dataclasses.replace(P, g=jnp.asarray(gB))
+        shared = ("c", "A", "b", "G", "d", "u")
+        s = Settings()
+        r0 = solve_lp_batch(Pb, s, shared=shared)
+        r1 = solve_lp_batch_waves_rhs(Pb, s, shared, waves=4)
+        st0 = np.asarray(r0.status)
+        st1 = np.asarray(r1.status)
+        assert (st0 >= 1).all()
+        assert (st1 >= 1).all(), st1  # the old guard demoted some to 0
+        np.testing.assert_allclose(np.asarray(r1.x) @ c,
+                                   np.asarray(r0.x) @ c, atol=1e-6)
