@@ -25,7 +25,6 @@ restricted to the appropriate masks. All solves are Cholesky-based
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -370,7 +369,14 @@ def cg_solve_padded(V, fm, B, iters, rtol, X0=None, W=None, cheb=None):
     Returns (X, rel_residual (K,)).
     """
     dinv = 1.0 / (fm * jnp.diag(V) + (1.0 - fm))
-    bnorm2 = jnp.maximum(jnp.sum(B * B, axis=0), 1e-30)
+    # div-by-zero floor at the dtype's smallest normal, NOT an absolute
+    # constant: flooring at 1e-30 under-reported the relative residual of
+    # tiny-but-nonzero f64 columns by up to 1e5, letting badly-converged
+    # solves through the ok gate (review finding, round 5); finfo.tiny
+    # only engages for columns that are zero to machine resolution, whose
+    # exact solution is 0 anyway.
+    tiny = jnp.asarray(jnp.finfo(B.dtype).tiny, B.dtype)
+    bnorm2 = jnp.maximum(jnp.sum(B * B, axis=0), tiny)
     tol2 = (rtol * rtol) * bnorm2
 
     if X0 is None:
@@ -379,7 +385,7 @@ def cg_solve_padded(V, fm, B, iters, rtol, X0=None, W=None, cheb=None):
         # A (near-)zero RHS column's exact solution is 0; a stale warm-start
         # there would leave a residual that can never reach rtol*||b|| and
         # burn the whole iteration budget, so such columns restart at 0.
-        live = (jnp.sum(B * B, axis=0) > 1e-30)[None, :]
+        live = (jnp.sum(B * B, axis=0) > tiny)[None, :]
         X = jnp.where(live, X0, 0.0)
     if cheb is not None:
         lo, hi = cheb

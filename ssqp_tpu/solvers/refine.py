@@ -119,6 +119,34 @@ def _np_dd_add(sh, sl, e):
     return _np_two_sum(t, sl)
 
 
+def _kept_rows(Q: QP, res: Result, settings: Settings, free, z, fac_dtype):
+    """The kept-rows decision shared by EVERY refinement tier (LU, CG and
+    the double-double continuation): purge the free-masked working rows in
+    the factor dtype, with the tolerance floored at the f32 tier when
+    downcast — the S-loop that chose this active set made all its rank
+    calls in the search dtype, and the refined system must enforce the
+    same kept rows or differently-pinned multipliers displace the refined
+    point on rank-deficient sets. ONE definition: the recipe used to be
+    copy-pasted three times and the dd copy had already drifted (f64 QR on
+    TPU — review finding, round 5). Returns (keep, act, AGf, bgf, fm)."""
+    from ssqp_tpu.ops.masked_gj import select_purge
+
+    M, J = Q.M, Q.J
+    dtype = Q.V.dtype
+    act = (jnp.concatenate([jnp.ones((M,), bool), res.S[Q.N:] == EO])
+           if J > 0 else jnp.ones((M,), bool))
+    AGf = (jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A)
+    bgf = (jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b)
+    fm = free.astype(dtype)
+    bE = bgf - AGf @ (z * (1 - fm))
+    Ap = (AGf * fm[None, :]).astype(fac_dtype)
+    bp = bE.astype(fac_dtype)
+    tol_p = (max(float(settings.tol), 2.0**-16)
+             if jnp.dtype(fac_dtype) == jnp.float32 else settings.tol)
+    keep, _, _ = select_purge(settings.pivot, M + J)(Ap, bp, act, tol_p)
+    return keep, act, AGf, bgf, fm
+
+
 @partial(jax.jit, static_argnames=("settings", "iters", "with_duals"))
 @highest_matmul
 def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2,
@@ -139,11 +167,6 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2,
     free = Sx == IN
     z = jnp.where(Sx == DN, Q.d, jnp.where(Sx == UP, Q.u, res.x))
 
-    act = (jnp.concatenate([jnp.ones((M,), bool), res.S[N:] == EO])
-           if J > 0 else jnp.ones((M,), bool))
-    AGf = (jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A)
-    fm = free.astype(dtype)
-    bE = (jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b) - AGf @ (z * (1 - fm))
     # Factorization dtype: XLA's TPU LuDecomposition is f32-only (an f64 K
     # fails to COMPILE, not just run slowly), so off-CPU the factor is always
     # f32 and the f64 accuracy comes entirely from the refinement sweeps —
@@ -152,24 +175,8 @@ def refine_result(Q: QP, res: Result, settings: Settings, iters: int = 2,
     # then already accurate and ``iters`` sweeps just polish roundoff.
     fac_dtype = dtype if jax.default_backend() == "cpu" else jnp.float32
     # Same purge policy as the S-loop (solvers/ssqp.py) INCLUDING the
-    # Settings.pivot flavor — the refined system must enforce the same kept
-    # rows as the loop that chose this active set, or differently-pinned
-    # multipliers can displace the refined point on rank-deficient sets and
-    # the acceptance guard rejects the sweep. The row flavor uses the
-    # one-shot QR keep-mask at many working rows (identical greedy keep
-    # semantics; the GJ sweep's R sequential fori steps dominate latency
-    # there). The purge is a rank DECISION, not a solution: it runs in the
-    # factor dtype (f64 QR is emulated-or-unsupported on TPU, and the
-    # S-loop that chose this active set made all its rank calls in the
-    # search dtype). A settings.tol below the purge dtype's resolution
-    # would mis-keep numerically dependent rows: floor it at the f32 tier.
-    Ap = (AGf * fm[None, :]).astype(fac_dtype)
-    bp = bE.astype(fac_dtype)
-    tol_p = (max(float(settings.tol), 2.0**-16)
-             if jnp.dtype(fac_dtype) == jnp.float32 else settings.tol)
-    from ssqp_tpu.ops.masked_gj import select_purge
-
-    keep, _, _ = select_purge(settings.pivot, M + J)(Ap, bp, act, tol_p)
+    # Settings.pivot flavor (see _kept_rows — shared across all tiers).
+    keep, _, _, _, _ = _kept_rows(Q, res, settings, free, z, fac_dtype)
 
     K, rhs, AG, bg = _kkt_matrix(Q, free, keep, z)
     Kf = K.astype(fac_dtype)
@@ -250,6 +257,13 @@ def _refine_accept(Q: QP, res: Result, x_ref, settings: Settings, hi, free,
         actd = (jnp.concatenate([jnp.ones((M,), bool), res.S[N:] == EO])
                 if J > 0 else jnp.ones((M,), bool))
         lam, gam = recover_duals(Q.V, Q.q, AGd, out.x, free, actd)
+        # failed solves carry zero certificates (the _attach_duals
+        # convention) — recovering duals at a failed point would ship
+        # NaNs where the input Result had none (review finding, round 5)
+        solved = res.status > 0
+        lam = (jnp.where(solved, lam, jnp.zeros_like(lam))
+               if lam.shape[0] else lam)
+        gam = jnp.where(solved, gam, jnp.zeros_like(gam))
         out = Result(out.x, out.S, out.status, lam, gam)
     return out
 
@@ -276,7 +290,6 @@ def refine_result_cg(Q: QP, res: Result, settings: Settings, iters: int = 6,
     native-precision solves at tol 2^-26, types.jl:390-408).
     """
     from ssqp_tpu.ops.kkt import kkt_solve_rhs_cg
-    from ssqp_tpu.ops.masked_gj import select_purge
 
     N, M, J = Q.N, Q.M, Q.J
     dtype = Q.V.dtype
@@ -284,22 +297,11 @@ def refine_result_cg(Q: QP, res: Result, settings: Settings, iters: int = 6,
     free = Sx == IN
     z = jnp.where(Sx == DN, Q.d, jnp.where(Sx == UP, Q.u, res.x))
 
-    act = (jnp.concatenate([jnp.ones((M,), bool), res.S[N:] == EO])
-           if J > 0 else jnp.ones((M,), bool))
-    AGf = (jnp.concatenate([Q.A, Q.G], axis=0) if J > 0 else Q.A)
-    bgf = (jnp.concatenate([Q.b, Q.g]) if J > 0 else Q.b)
-    fm = free.astype(dtype)
     # CG work dtype mirrors refine_result's factor dtype: f32 off-CPU (all
     # the accuracy comes from the high-precision residuals), native on CPU.
     fac_dtype = dtype if jax.default_backend() == "cpu" else jnp.float32
-    # same kept-rows decision as refine_result (purge is a rank decision in
-    # the factor dtype; tol floored at the f32 tier when downcast)
-    bE = bgf - AGf @ (z * (1 - fm))
-    Ap = (AGf * fm[None, :]).astype(fac_dtype)
-    bp = bE.astype(fac_dtype)
-    tol_p = (max(float(settings.tol), 2.0**-16)
-             if jnp.dtype(fac_dtype) == jnp.float32 else settings.tol)
-    keep, _, _ = select_purge(settings.pivot, M + J)(Ap, bp, act, tol_p)
+    # same kept-rows decision as every refinement tier (_kept_rows)
+    keep, _, AGf, bgf, fm = _kept_rows(Q, res, settings, free, z, fac_dtype)
 
     hi = jnp.float64 if jax.config.jax_enable_x64 else dtype
     V_hi = Q.V.astype(hi)
@@ -335,6 +337,12 @@ def refine_result_cg(Q: QP, res: Result, settings: Settings, iters: int = 6,
             r2 = rhs2 - (km_hi * (AG_hi @ x) + (1.0 - km_hi) * lam)
         else:
             r2 = jnp.zeros((0,), hi)
+        # warm-start only the sweep-invariant mT columns (1..R): the
+        # residual column's previous solution is the PREVIOUS correction,
+        # ~1/contraction larger than this sweep's — starting there leaves
+        # CG with a bigger initial residual than a zero start (review
+        # finding, round 5)
+        sol = sol.at[:, 0].set(0.0)
         dx, dl, _ok, sol = kkt_solve_rhs_cg(
             Vf, AGc, free, keep, r1.astype(fac_dtype), r2.astype(fac_dtype),
             cg_iters, cg_rtol, x0=sol, return_sol=True)
@@ -419,8 +427,14 @@ def solve_qp_refined(
         s_search = settings or Settings.for_dtype(Q.V.dtype)
     settings = settings or Settings.for_dtype(Q.V.dtype)
     if Q.mc <= 0:
-        # invalid-model guard (host-side, like solve_qp's)
-        return solve_qp(Qs, settings=s_search)
+        # invalid-model guard (host-side, like solve_qp's); the rejection
+        # Result keeps Q's dtype — the refined tier's output contract —
+        # rather than the downcast search dtype (review finding, round 5)
+        r = solve_qp(Qs, settings=s_search)
+        return Result(r.x.astype(Q.V.dtype), r.S, r.status,
+                      None if r.lam is None else r.lam.astype(Q.V.dtype),
+                      None if r.gamma is None else
+                      r.gamma.astype(Q.V.dtype))
     return _search_and_refine_fused(Q, Qs, s_search, settings, iters,
                                     method=method)
 
@@ -461,20 +475,15 @@ def solve_qp_refined_dd(
     x0 = np.asarray(res.x, np.float64)
     z = np.where(Sx == DN, d, np.where(Sx == UP, u, x0))
     free = Sx == IN
-    act = (np.concatenate([np.ones(M, bool), S[N:] == EO])
-           if J > 0 else np.ones(M, bool))
-    # same kept-rows decision as refine_result (purge in the work dtype)
-    AGf = (np.concatenate([np.asarray(Q.A), np.asarray(Q.G)])
-           if J > 0 else np.asarray(Q.A))
-    bgf = (np.concatenate([np.asarray(Q.b), np.asarray(Q.g)])
-           if J > 0 else np.asarray(Q.b))
-    fm = free.astype(np.float64)
-    Ap = jnp.asarray(AGf * fm[None, :])
-    bp = jnp.asarray(bgf - AGf @ (z * (1 - fm)))
-    actj = jnp.asarray(act)
-    from ssqp_tpu.ops.masked_gj import select_purge
-
-    keep, _, _ = select_purge(settings.pivot, M + J)(Ap, bp, actj, settings.tol)
+    # same kept-rows decision as every refinement tier (_kept_rows): in
+    # particular the factor-dtype + tol-floor rule — this copy previously
+    # ran an unconditional f64 purge, which on TPU hits the unsupported f64
+    # QR at M+J >= 16 AND could pick a different keep mask than the refined
+    # solve being continued (review finding, round 5)
+    fac_dtype = (Q.V.dtype if jax.default_backend() == "cpu"
+                 else jnp.float32)
+    keep, _, _, _, _ = _kept_rows(Q, res, settings, jnp.asarray(free),
+                                  jnp.asarray(z), fac_dtype)
     # K/rhs assembly is mask-and-concatenate only (no rounding): the eager
     # jax helper is exact, numpy just receives the bits
     K, rhs, _, _ = _kkt_matrix(Q, jnp.asarray(free), keep, jnp.asarray(z))
